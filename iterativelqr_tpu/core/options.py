@@ -1,0 +1,71 @@
+"""Solver options.
+
+Mirrors the reference option set (reference: src/options.jl:1-14) with the same
+defaults, plus new knobs for machinery the reference lacks (Quu regularization,
+line-search grid size).  The dataclass is frozen and hashable so it can be closed
+over by ``jax.jit``-compiled solve functions as a static configuration: changing
+an option builds a new compiled program, matching XLA's trace-once model.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+
+@dataclasses.dataclass(frozen=True)
+class Options:
+    # --- reference-parity options (src/options.jl:1-14) ---
+    line_search: str = "armijo"  # "armijo" | "none"
+    max_iterations: int = 100
+    max_dual_updates: int = 10
+    min_step_size: float = 1.0e-5
+    objective_tolerance: float = 1.0e-3
+    lagrangian_gradient_tolerance: float = 1.0e-3
+    constraint_tolerance: float = 5.0e-3
+    constraint_norm: float = math.inf  # reference hardcodes Inf-norm; so do we
+    initial_constraint_penalty: float = 1.0
+    scaling_penalty: float = 10.0
+    max_penalty: float = 1.0e8
+    verbose: bool = False
+
+    # --- Armijo parameters (reference: src/forward_pass.jl:4-6) ---
+    armijo_c1: float = 1.0e-4
+    max_line_search_iterations: int = 25
+
+    # --- new: adaptive Quu regularization (reference has none and never checks
+    # its Cholesky, src/backward_pass.jl:69-73; see SURVEY.md "hard parts" #1) ---
+    regularization_initial: float = 0.0
+    regularization_min: float = 1.0e-6
+    regularization_max: float = 1.0e12
+    regularization_scale: float = 10.0
+    max_regularization_steps: int = 20
+
+    # --- new: backward-pass implementation selector ---
+    # "scan": sequential reverse lax.scan (default, matches reference recursion)
+    # "associative": jax.lax.associative_scan parallel-prefix Riccati (O(log T) depth)
+    backward_pass: str = "scan"
+
+    def __post_init__(self):
+        if self.line_search not in ("armijo", "none"):
+            raise ValueError(f"unknown line_search {self.line_search!r}")
+        if self.backward_pass not in ("scan", "associative"):
+            raise ValueError(f"unknown backward_pass {self.backward_pass!r}")
+
+    @property
+    def num_step_sizes(self) -> int:
+        """Number of line-search candidates alpha_j = 0.5**j.
+
+        Reproduces the reference's serial halving loop (src/forward_pass.jl:28-54):
+        step sizes are tried from 1.0 downward while alpha >= min_step_size, capped
+        at max_line_search_iterations trials.  Here all candidates are rolled out in
+        one vmapped batch and the largest acceptable alpha is selected, which is
+        semantically identical to first-accept serial backtracking.
+        """
+        if self.min_step_size <= 0:
+            return self.max_line_search_iterations
+        n = int(math.floor(math.log2(1.0 / self.min_step_size))) + 1
+        # guard: 0.5**(n-1) must be >= min_step_size
+        while n > 1 and 0.5 ** (n - 1) < self.min_step_size:
+            n -= 1
+        return min(n, self.max_line_search_iterations)

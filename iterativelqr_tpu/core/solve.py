@@ -1,0 +1,327 @@
+"""Solver drivers: inner iLQR loop and outer augmented-Lagrangian loop.
+
+Functional re-design of the reference drivers (reference: src/solve.jl):
+
+* ``ilqr`` — the inner unconstrained minimization (src/solve.jl:1-51) as a
+  ``lax.while_loop``: line search, fresh derivatives, regularized backward
+  pass, convergence on Lagrangian-gradient norm / objective decrease /
+  line-search failure — same criteria, same defaults.
+* ``al_solve`` — the outer dual loop (src/solve.jl:88-129): inner solve,
+  violation check, dual ascent + penalty scaling, optional user callback for
+  continuation schemes.
+* Unconstrained problems are simply AL problems with zero constraint rows:
+  the violation is identically zero so the outer loop exits after one inner
+  solve, replacing the reference's type-dispatch (src/solve.jl:137-143) with a
+  single compiled program.
+
+The whole solve is one jitted program; under ``jax.vmap`` the while-loops mask
+per-instance automatically, so a batch finishes when its last instance
+converges and converged instances stop changing (SURVEY.md section 7).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import al as al_ops
+from ..ops import derivatives as dv
+from ..ops.backward import backward_pass
+from ..ops.forward import armijo_slope, line_search, trajectory_sensitivities
+from .options import Options
+from .spec import ProblemSpec
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Solution:
+    """Result pytree of a solve (padded arrays; see ProblemSpec masks)."""
+
+    xs: jax.Array  # [T, nx] nominal states
+    us: jax.Array  # [T-1, nu] nominal actions
+    K: jax.Array  # [T-1, nu, nx] feedback gains
+    k: jax.Array  # [T-1, nu] feedforward
+    objective: jax.Array  # final (augmented) objective
+    gradient_norm: jax.Array  # inf-norm of the Lagrangian gradient
+    max_violation: jax.Array  # inf-norm constraint violation
+    status: jax.Array  # last line search succeeded
+    iterations: jax.Array  # total inner iterations
+    al_iterations: jax.Array  # outer dual updates performed
+    step_size: jax.Array  # last accepted step size
+    duals: jax.Array  # [T, nc]
+    penalty: jax.Array  # [T, nc]
+    reg: jax.Array  # final regularization carry
+    # traces: [max_dual_updates, max_iterations]; valid where trace_mask
+    trace_cost: jax.Array
+    trace_gradient_norm: jax.Array
+    trace_violation: jax.Array
+    trace_step_size: jax.Array
+    trace_mask: jax.Array
+
+    @property
+    def converged(self):
+        return self.max_violation <= jnp.asarray(5.0e-3)
+
+
+class _InnerCarry(NamedTuple):
+    xs: jax.Array
+    us: jax.Array
+    J: jax.Array
+    obj_prev: jax.Array
+    c: jax.Array
+    fx: jax.Array
+    fu: jax.Array
+    K: jax.Array
+    k: jax.Array
+    Qx: jax.Array
+    Qu: jax.Array
+    p: jax.Array
+    reg: jax.Array
+    grad_norm: jax.Array
+    status: jax.Array
+    stop: jax.Array
+    it: jax.Array
+    viol: jax.Array
+    step_size: jax.Array
+    tr_cost: jax.Array
+    tr_grad: jax.Array
+    tr_viol: jax.Array
+    tr_step: jax.Array
+    tr_mask: jax.Array
+
+
+class _OuterCarry(NamedTuple):
+    xs: jax.Array
+    us: jax.Array
+    ws: jax.Array
+    duals: jax.Array
+    penalty: jax.Array
+    reg: jax.Array
+    al_it: jax.Array
+    stop: jax.Array
+    total_iters: jax.Array
+    J: jax.Array
+    grad_norm: jax.Array
+    viol: jax.Array
+    status: jax.Array
+    step_size: jax.Array
+    K: jax.Array
+    k: jax.Array
+    trace_cost: jax.Array
+    trace_grad: jax.Array
+    trace_viol: jax.Array
+    trace_step: jax.Array
+    trace_mask: jax.Array
+
+
+@dataclasses.dataclass
+class CallbackState:
+    """State handed to the user AL callback (reference hook:
+    src/solve.jl:124-125, intended for continuation/homotopy schemes).
+    The callback must be a pure, jittable (CallbackState) -> CallbackState."""
+
+    xs: jax.Array
+    us: jax.Array
+    ws: jax.Array
+    duals: jax.Array
+    penalty: jax.Array
+    al_iteration: jax.Array
+
+
+def make_solve_fn(
+    spec: ProblemSpec,
+    options: Options = Options(),
+    callback: Optional[Callable[[CallbackState], CallbackState]] = None,
+):
+    """Build the pure solve function ``(xs_init, us_init, ws) -> Solution``.
+
+    ``ws`` is the [T, npar] per-timestep parameter trajectory; duals/penalties
+    are reset at entry (reference: src/solve.jl:95-103).
+    """
+    nc = spec.nc
+    x_mask = jnp.asarray(spec.x_mask)
+    u_mask = jnp.asarray(spec.u_mask)
+    c_mask = jnp.asarray(spec.c_mask)
+    ineq = jnp.asarray(spec.ineq_mask)
+    armijo = options.line_search == "armijo"
+
+    def al_objective(xs, us, ws, duals, penalty):
+        J = dv.total_cost(spec, xs, us, ws)
+        c = dv.constraint_values(spec, xs, us, ws)
+        if nc > 0:
+            J = J + al_ops.al_terms(c, duals, penalty, ineq)
+        return J, c
+
+    def derive(xs, us, ws, duals, penalty, c, reg):
+        """Derivative stacks + AL augmentation + backward pass."""
+        fx, fu = dv.dynamics_jacobians(spec, xs, us, ws)
+        gx, gu = dv.cost_gradients(spec, xs, us, ws)
+        gxx, guu, gux = dv.cost_hessians(spec, xs, us, ws)
+        if nc > 0:
+            cx, cu = dv.constraint_jacobians(spec, xs, us, ws)
+            dgx, dgu, dgxx, dguu, dgux = al_ops.al_gradient_terms(
+                c, cx, cu, duals, penalty, ineq
+            )
+            gx, gu = gx + dgx, gu + dgu
+            gxx, guu, gux = gxx + dgxx, guu + dguu, gux + dgux
+        K, k, Qx, Qu, p, _ok, reg_next = backward_pass(
+            fx, fu, gx, gu, gxx, guu, gux, u_mask, reg, options
+        )
+        # Lagrangian gradient inf-norm over valid dims
+        # (reference: src/solve.jl:67-83 + norm at :35)
+        lx = jnp.abs(Qx - p) * x_mask[:-1]
+        lu = jnp.abs(Qu) * u_mask
+        grad_norm = jnp.maximum(jnp.max(lx), jnp.max(lu))
+        return fx, fu, K, k, Qx, Qu, p, grad_norm, reg_next
+
+    def viol_of(c):
+        return al_ops.max_violation(c, ineq, c_mask)
+
+    def ilqr(xs, us, ws, duals, penalty, reg):
+        dtype = xs.dtype
+        obj_fn = lambda xs_, us_: al_objective(xs_, us_, ws, duals, penalty)
+        J0, c0 = obj_fn(xs, us)
+        fx, fu, K, k, Qx, Qu, p, gnorm0, reg1 = derive(
+            xs, us, ws, duals, penalty, c0, reg
+        )
+        zrow = jnp.zeros((options.max_iterations,), dtype)
+        carry = _InnerCarry(
+            xs=xs, us=us, J=J0, obj_prev=J0, c=c0,
+            fx=fx, fu=fu, K=K, k=k, Qx=Qx, Qu=Qu, p=p,
+            reg=reg1, grad_norm=gnorm0,
+            status=jnp.asarray(True), stop=jnp.asarray(False),
+            it=jnp.asarray(0), viol=viol_of(c0),
+            step_size=jnp.ones((), dtype),
+            tr_cost=zrow, tr_grad=zrow, tr_viol=zrow, tr_step=zrow,
+            tr_mask=jnp.zeros((options.max_iterations,), bool),
+        )
+
+        def cond(s: _InnerCarry):
+            return (~s.stop) & (s.it < options.max_iterations)
+
+        def body(s: _InnerCarry):
+            if armijo:
+                zx, zu = trajectory_sensitivities(s.fx, s.fu, s.K, s.k)
+                slope = armijo_slope(s.Qx, s.Qu, s.p, zx, zu)
+            else:
+                slope = jnp.zeros((), dtype)
+            xs, us, J, c, status, step = line_search(
+                spec, obj_fn, s.xs, s.us, ws, s.K, s.k, slope, s.J, s.c, options
+            )
+            if options.line_search != "none":
+                fx, fu, K, k, Qx, Qu, p, grad_norm, reg = derive(
+                    xs, us, ws, duals, penalty, c, s.reg
+                )
+            else:
+                fx, fu, K, k, Qx, Qu, p, grad_norm, reg = (
+                    s.fx, s.fu, s.K, s.k, s.Qx, s.Qu, s.p, s.grad_norm, s.reg
+                )
+            it = s.it + 1
+            viol = viol_of(c)
+            # convergence (reference: src/solve.jl:48-50)
+            stop = (
+                (grad_norm < options.lagrangian_gradient_tolerance)
+                | (jnp.abs(J - s.obj_prev) < options.objective_tolerance)
+                | (~status)
+            )
+            return _InnerCarry(
+                xs=xs, us=us, J=J, obj_prev=J, c=c,
+                fx=fx, fu=fu, K=K, k=k, Qx=Qx, Qu=Qu, p=p,
+                reg=reg, grad_norm=grad_norm, status=status, stop=stop,
+                it=it, viol=viol, step_size=step,
+                tr_cost=s.tr_cost.at[s.it].set(J),
+                tr_grad=s.tr_grad.at[s.it].set(grad_norm),
+                tr_viol=s.tr_viol.at[s.it].set(viol),
+                tr_step=s.tr_step.at[s.it].set(step),
+                tr_mask=s.tr_mask.at[s.it].set(True),
+            )
+
+        return jax.lax.while_loop(cond, body, carry)
+
+    def solve(xs_init, us_init, ws) -> Solution:
+        dtype = xs_init.dtype
+        T = spec.T
+        duals0 = jnp.zeros((T, nc), dtype)
+        penalty0 = jnp.full((T, nc), options.initial_constraint_penalty, dtype)
+        zt = jnp.zeros((options.max_dual_updates, options.max_iterations), dtype)
+        carry = _OuterCarry(
+            xs=xs_init, us=us_init, ws=ws,
+            duals=duals0, penalty=penalty0,
+            reg=jnp.asarray(options.regularization_initial, dtype),
+            al_it=jnp.asarray(0), stop=jnp.asarray(False),
+            total_iters=jnp.asarray(0),
+            J=jnp.zeros((), dtype), grad_norm=jnp.zeros((), dtype),
+            viol=jnp.zeros((), dtype), status=jnp.asarray(True),
+            step_size=jnp.ones((), dtype),
+            K=jnp.zeros((T - 1, spec.nu, spec.nx), dtype),
+            k=jnp.zeros((T - 1, spec.nu), dtype),
+            trace_cost=zt, trace_grad=zt, trace_viol=zt, trace_step=zt,
+            trace_mask=jnp.zeros(zt.shape, bool),
+        )
+
+        def cond(s: _OuterCarry):
+            return (~s.stop) & (s.al_it < options.max_dual_updates)
+
+        def body(s: _OuterCarry):
+            inner = ilqr(s.xs, s.us, s.ws, s.duals, s.penalty, s.reg)
+            # break *before* the dual update when already feasible
+            # (reference: src/solve.jl:113-121)
+            stop = inner.viol <= options.constraint_tolerance
+            if nc > 0:
+                new_duals, new_penalty = al_ops.dual_update(
+                    inner.c, s.duals, s.penalty, ineq,
+                    options.scaling_penalty, options.max_penalty,
+                )
+                duals = jnp.where(stop, s.duals, new_duals)
+                penalty = jnp.where(stop, s.penalty, new_penalty)
+            else:
+                duals, penalty = s.duals, s.penalty
+                stop = jnp.asarray(True)
+            ws_next = s.ws
+            xs_next, us_next = inner.xs, inner.us
+            if callback is not None:
+                cb = callback(
+                    CallbackState(
+                        xs=inner.xs, us=inner.us, ws=s.ws,
+                        duals=duals, penalty=penalty,
+                        al_iteration=s.al_it,
+                    )
+                )
+                # apply only while the outer loop continues
+                xs_next = jnp.where(stop, xs_next, cb.xs)
+                us_next = jnp.where(stop, us_next, cb.us)
+                ws_next = jnp.where(stop, s.ws, cb.ws)
+                duals = jnp.where(stop, duals, cb.duals)
+                penalty = jnp.where(stop, penalty, cb.penalty)
+            return _OuterCarry(
+                xs=xs_next, us=us_next, ws=ws_next,
+                duals=duals, penalty=penalty, reg=inner.reg,
+                al_it=s.al_it + 1, stop=stop,
+                total_iters=s.total_iters + inner.it,
+                J=inner.J, grad_norm=inner.grad_norm, viol=inner.viol,
+                status=inner.status, step_size=inner.step_size,
+                K=inner.K, k=inner.k,
+                trace_cost=s.trace_cost.at[s.al_it].set(inner.tr_cost),
+                trace_grad=s.trace_grad.at[s.al_it].set(inner.tr_grad),
+                trace_viol=s.trace_viol.at[s.al_it].set(inner.tr_viol),
+                trace_step=s.trace_step.at[s.al_it].set(inner.tr_step),
+                trace_mask=s.trace_mask.at[s.al_it].set(inner.tr_mask),
+            )
+
+        s = jax.lax.while_loop(cond, body, carry)
+        return Solution(
+            xs=s.xs, us=s.us, K=s.K, k=s.k,
+            objective=s.J, gradient_norm=s.grad_norm,
+            max_violation=s.viol, status=s.status,
+            iterations=s.total_iters, al_iterations=s.al_it,
+            step_size=s.step_size, duals=s.duals, penalty=s.penalty,
+            reg=s.reg,
+            trace_cost=s.trace_cost, trace_gradient_norm=s.trace_grad,
+            trace_violation=s.trace_viol, trace_step_size=s.trace_step,
+            trace_mask=s.trace_mask,
+        )
+
+    return solve

@@ -1,0 +1,58 @@
+"""Cartpole swing-up — extra model family beyond the reference examples,
+demonstrating control-limit inequality constraints on a 4-state system."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.spec import Constraint, Cost, Dynamics
+
+NUM_STATE = 4
+NUM_ACTION = 1
+
+MASS_CART = 1.0
+MASS_POLE = 0.2
+LENGTH = 0.5
+GRAVITY = 9.81
+
+
+def cartpole_continuous(x, u):
+    _, th, xd, thd = x[0], x[1], x[2], x[3]
+    f = u[0]
+    s, c = jnp.sin(th), jnp.cos(th)
+    total = MASS_CART + MASS_POLE
+    tmp = (f + MASS_POLE * LENGTH * thd**2 * s) / total
+    thdd = (GRAVITY * s - c * tmp) / (
+        LENGTH * (4.0 / 3.0 - MASS_POLE * c**2 / total)
+    )
+    xdd = tmp - MASS_POLE * LENGTH * thdd * c / total
+    return jnp.array([xd, thd, xdd, thdd])
+
+
+def cartpole_discrete(x, u, h=0.05):
+    return x + h * cartpole_continuous(x + 0.5 * h * cartpole_continuous(x, u), u)
+
+
+def problem(T: int = 51, u_limit: float = 10.0):
+    xT = jnp.array([0.0, jnp.pi, 0.0, 0.0])
+
+    dyn = Dynamics(cartpole_discrete, NUM_STATE, NUM_ACTION)
+    dynamics = [dyn] * (T - 1)
+
+    stage = Cost(
+        lambda x, u: 0.1 * jnp.dot(x[2:], x[2:]) + 0.1 * jnp.dot(u, u),
+        NUM_STATE,
+        NUM_ACTION,
+    )
+    term = Cost(lambda x, u: 0.1 * jnp.dot(x[2:], x[2:]), NUM_STATE, 0)
+    objective = [stage] * (T - 1) + [term]
+
+    def stage_con(x, u):
+        return jnp.array([-u_limit - u[0], u[0] - u_limit], x.dtype)
+
+    limits = Constraint(stage_con, NUM_STATE, NUM_ACTION, indices_inequality=[0, 1])
+    goal = Constraint(lambda x, u: x - xT.astype(x.dtype), NUM_STATE, 0)
+    constraints = [limits] * (T - 1) + [goal]
+
+    x1 = jnp.zeros(NUM_STATE)
+    return dynamics, objective, constraints, x1, xT

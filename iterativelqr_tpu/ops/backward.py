@@ -1,0 +1,138 @@
+"""Backward Riccati/DDP recursion.
+
+TPU-native replacements for the reference's sequential Julia loop with BLAS
+``mul!`` and *unchecked* LAPACK Cholesky (reference: src/backward_pass.jl:42-90,
+SURVEY.md "hard parts" #1):
+
+* ``backward_pass_scan`` — reverse ``lax.scan``; the per-step small-matrix
+  algebra fuses into one compiled loop body.  Cholesky failure (indefinite Quu)
+  is detected via NaN/non-positive diagonals instead of ignored.
+* ``backward_pass`` — adaptive Levenberg-style regularization wrapper: retries
+  the recursion with geometrically increasing ``reg`` until Quu + reg*I is
+  positive definite at every timestep.  Under ``vmap`` the retry loop masks
+  per-instance, so one ill-conditioned problem in a batch cannot poison the
+  rest.
+* ``backward_pass_associative`` (ops/assoc.py) — O(log T)-depth parallel-prefix
+  variant, selected via Options.backward_pass.
+
+Padded action dimensions carry an identity Quu block and zero gains, so padded
+and exact-dimension solves agree (property-tested in tests/test_padding.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.options import Options
+
+
+def riccati_step(P, p, fx_t, fu_t, gx_t, gu_t, gxx_t, guu_t, gux_t, um, reg):
+    """One backward step at time t given the value function (P, p) at t+1.
+
+    Mirrors reference src/backward_pass.jl:44-89 (Q-expansion, gains, value
+    update), with padding masks and regularization added.  ``um`` is the float
+    action-validity mask [nu].
+    """
+    fxT = fx_t.T
+    fuT = fu_t.T
+    Qx = gx_t + fxT @ p
+    Qu = gu_t + fuT @ p
+    fxTP = fxT @ P
+    fuTP = fuT @ P
+    Qxx = gxx_t + fxTP @ fx_t
+    Quu = guu_t + fuTP @ fu_t
+    Qux = gux_t + fuTP @ fx_t
+
+    # padded action dims: identity diagonal so the factorization is well posed
+    # and the corresponding gain rows vanish
+    mask2 = um[:, None] * um[None, :]
+    Quu_eff = Quu * mask2 + jnp.diag(1.0 - um)
+    Quu_reg = Quu_eff + reg * jnp.diag(um)
+
+    L = jnp.linalg.cholesky(Quu_reg)
+    diag = jnp.diagonal(L)
+    ok = jnp.all(jnp.isfinite(diag) & (diag > 0.0))
+
+    # K = -Quu \ Qux ; k = -Quu \ Qu  (reference: src/backward_pass.jl:66-75)
+    K = -jax.scipy.linalg.cho_solve((L, True), Qux) * um[:, None]
+    k = -jax.scipy.linalg.cho_solve((L, True), Qu[:, None])[:, 0] * um
+
+    # value update with the *unregularized* Quu, matching the reference exactly
+    # when no regularization was needed (src/backward_pass.jl:77-89)
+    QuuK = Quu_eff @ K
+    P_new = Qxx + K.T @ QuuK + K.T @ Qux + Qux.T @ K
+    P_new = 0.5 * (P_new + P_new.T)
+    p_new = Qx + QuuK.T @ k + K.T @ Qu + Qux.T @ k
+    return P_new, p_new, ok, K, k, Qx, Qu
+
+
+def backward_pass_scan(fx, fu, gx, gu, gxx, guu, gux, u_mask, reg):
+    """Reverse-scan Riccati recursion.
+
+    Returns (K [T-1,nu,nx], k [T-1,nu], Qx [T-1,nx], Qu [T-1,nu],
+    p [T-1,nx] — the value gradient *at* t, used by the Lagrangian gradient —
+    and an all-timesteps PD-success flag).
+    Terminal init P=gxx_T, p=gx_T (reference: src/backward_pass.jl:39-40).
+    """
+    dtype = gx.dtype
+    um = u_mask.astype(dtype)
+
+    def step(carry, inp):
+        P, p, ok = carry
+        fx_t, fu_t, gx_t, gu_t, gxx_t, guu_t, gux_t, um_t = inp
+        P_new, p_new, ok_t, K, k, Qx, Qu = riccati_step(
+            P, p, fx_t, fu_t, gx_t, gu_t, gxx_t, guu_t, gux_t, um_t, reg
+        )
+        return (P_new, p_new, ok & ok_t), (K, k, Qx, Qu, p_new)
+
+    init = (gxx[-1], gx[-1], jnp.asarray(True))
+    (_, _, ok), (K, k, Qx, Qu, p) = jax.lax.scan(
+        step,
+        init,
+        (fx, fu, gx[:-1], gu, gxx[:-1], guu, gux, um),
+        reverse=True,
+    )
+    return K, k, Qx, Qu, p, ok
+
+
+def backward_pass(fx, fu, gx, gu, gxx, guu, gux, u_mask, reg_carry, options: Options):
+    """Backward pass with adaptive Quu regularization.
+
+    First attempt uses the carried ``reg`` (0 once the problem is locally PD,
+    giving exact reference-parity gains); on failure ``reg`` is escalated
+    geometrically and the recursion re-run.  On success the carried value
+    decays so regularization vanishes when no longer needed.
+    """
+    if options.backward_pass == "associative":
+        from .assoc import backward_pass_associative as bp
+    else:
+        bp = backward_pass_scan
+
+    def attempt(reg):
+        return bp(fx, fu, gx, gu, gxx, guu, gux, u_mask, reg)
+
+    K, k, Qx, Qu, p, ok = attempt(reg_carry)
+    state = (jnp.asarray(0), reg_carry, ok, (K, k, Qx, Qu, p))
+
+    def cond(s):
+        i, _, ok, _ = s
+        return (~ok) & (i < options.max_regularization_steps)
+
+    def body(s):
+        i, reg, _, _ = s
+        reg_next = jnp.maximum(reg * options.regularization_scale,
+                               options.regularization_min)
+        reg_next = jnp.minimum(reg_next, options.regularization_max)
+        K, k, Qx, Qu, p, ok = attempt(reg_next)
+        return (i + 1, reg_next, ok, (K, k, Qx, Qu, p))
+
+    _, reg_used, ok, (K, k, Qx, Qu, p) = jax.lax.while_loop(cond, body, state)
+
+    # decay for the next iteration's first attempt
+    reg_next_carry = jnp.where(
+        reg_used <= options.regularization_min,
+        jnp.zeros_like(reg_used),
+        reg_used / options.regularization_scale,
+    )
+    return K, k, Qx, Qu, p, ok, reg_next_carry

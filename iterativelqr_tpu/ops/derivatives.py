@@ -1,0 +1,102 @@
+"""Horizon-stacked evaluation and differentiation of stage functions.
+
+The reference compiles symbolic in-place derivative kernels and loops over the
+horizon serially (reference: src/costs.jl:57-84, src/dynamics.jl:41-50,
+src/constraints.jl:75-87).  Here each family is evaluated for the whole horizon
+at once with ``jax.vmap`` over t; distinct per-timestep stage types are handled
+by *static index grouping* — each unique function is vmapped over its own
+(statically known) set of timesteps and results are scattered back — so XLA
+sees only dense batched computation, no per-step dispatch.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.spec import ProblemSpec
+
+
+def _grouped(fns, groups, rows, args):
+    """vmap each fns[g] over its timestep group; scatter into [rows, ...] arrays.
+
+    ``args`` are arrays with leading dim ``rows``; group indices are static
+    numpy arrays, so the gathers/scatters lower to static slices.
+    """
+    if len(fns) == 1:
+        return jax.vmap(fns[0])(*args)
+    outs = None
+    for fn, idx in zip(fns, groups):
+        sub = tuple(a[idx] for a in args)
+        res = jax.vmap(fn)(*sub)
+        if outs is None:
+            outs = jax.tree.map(
+                lambda r: jnp.zeros((rows,) + r.shape[1:], r.dtype), res
+            )
+        outs = jax.tree.map(lambda o, r, i=idx: o.at[i].set(r), outs, res)
+    return outs
+
+
+def _us_full(spec: ProblemSpec, us, dtype):
+    """Actions padded with a terminal zero row: cost/constraint stacks evaluate
+    all T timesteps uniformly; terminal stage functions see u = 0 (their true
+    action dim is 0, matching the reference's terminal Cost(.., num_action=0))."""
+    return jnp.concatenate([us, jnp.zeros((1, spec.nu), dtype)], axis=0)
+
+
+def stage_costs(spec: ProblemSpec, xs, us, ws):
+    """Per-timestep cost values, [T] (reference: src/costs.jl:48-55 sums these)."""
+    uf = _us_full(spec, us, xs.dtype)
+    return _grouped(spec.cost_eval, spec.cost_groups, spec.T, (xs, uf, ws))
+
+
+def total_cost(spec: ProblemSpec, xs, us, ws):
+    return jnp.sum(stage_costs(spec, xs, us, ws))
+
+
+def cost_gradients(spec: ProblemSpec, xs, us, ws):
+    """gx [T,nx], gu [T-1,nu] (reference: src/costs.jl:57-68)."""
+    uf = _us_full(spec, us, xs.dtype)
+    gx, gu = _grouped(spec.cost_grad, spec.cost_groups, spec.T, (xs, uf, ws))
+    return gx, gu[:-1]
+
+
+def cost_hessians(spec: ProblemSpec, xs, us, ws):
+    """gxx [T,nx,nx], guu [T-1,nu,nu], gux [T-1,nu,nx].
+
+    Computed fresh every call — the reference accumulates Hessians across inner
+    iterations via ``.+=`` with a single reset per solve (src/costs.jl:70-84 +
+    src/solve.jl:10), an unintended-damping quirk deliberately not replicated
+    (SURVEY.md "quirks").
+    """
+    uf = _us_full(spec, us, xs.dtype)
+    gxx, guu, gux = _grouped(spec.cost_hess, spec.cost_groups, spec.T, (xs, uf, ws))
+    return gxx, guu[:-1], gux[:-1]
+
+
+def dynamics_jacobians(spec: ProblemSpec, xs, us, ws):
+    """fx [T-1,nx,nx], fu [T-1,nx,nu] (reference: src/dynamics.jl:41-50)."""
+    return _grouped(
+        spec.dyn_jac, spec.dyn_groups, spec.T - 1, (xs[:-1], us, ws[:-1])
+    )
+
+
+def constraint_values(spec: ProblemSpec, xs, us, ws):
+    """c [T,nc]; padded rows are exactly zero (reference: src/constraints.jl:66-73)."""
+    if spec.nc == 0:
+        return jnp.zeros((spec.T, 0), xs.dtype)
+    uf = _us_full(spec, us, xs.dtype)
+    return _grouped(spec.con_eval, spec.con_groups, spec.T, (xs, uf, ws))
+
+
+def constraint_jacobians(spec: ProblemSpec, xs, us, ws):
+    """cx [T,nc,nx], cu [T-1,nc,nu] (reference: src/constraints.jl:75-87; the
+    terminal constraint has no action Jacobian, src/data/constraints.jl:14)."""
+    if spec.nc == 0:
+        return (
+            jnp.zeros((spec.T, 0, spec.nx), xs.dtype),
+            jnp.zeros((spec.T - 1, 0, spec.nu), xs.dtype),
+        )
+    uf = _us_full(spec, us, xs.dtype)
+    cx, cu = _grouped(spec.con_jac, spec.con_groups, spec.T, (xs, uf, ws))
+    return cx, cu[:-1]

@@ -1,0 +1,93 @@
+"""Forward pass: Armijo line search over vmapped candidate step sizes.
+
+The reference backtracks serially, halving alpha and re-rolling out until the
+Armijo condition holds (reference: src/forward_pass.jl:26-54).  On TPU the
+whole candidate grid alpha_j = 0.5**j is rolled out *at once* (one extra vmap
+axis riding the VPU lanes) and the largest acceptable alpha is selected —
+semantically identical to first-accept backtracking, but one device round
+instead of a data-dependent loop (SURVEY.md section 7).
+
+NaN/Inf costs from diverging rollouts reject the candidate, replacing the
+reference's disabled try/catch divergence handling (src/forward_pass.jl:32-43).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.options import Options
+from ..core.spec import ProblemSpec
+from .rollout import closed_loop_rollout
+
+
+def trajectory_sensitivities(fx, fu, K, k):
+    """Closed-loop linearized trajectory delta used for the Armijo slope
+    (reference: src/data/methods.jl:42-54):
+        zx_0 = 0;  zu_t = k_t + K_t zx_t;  zx_{t+1} = fx_t zx_t + fu_t zu_t
+    Returns (zx [T-1,nx], zu [T-1,nu]) — zx only needed through T-2 because the
+    terminal state gradient is zero by construction (src/gradients.jl note).
+    """
+
+    def step(zx, inp):
+        fx_t, fu_t, K_t, k_t = inp
+        zu = k_t + K_t @ zx
+        zx_next = fx_t @ zx + fu_t @ zu
+        return zx_next, (zx, zu)
+
+    zx0 = jnp.zeros(fx.shape[-1], fx.dtype)
+    _, (zx, zu) = jax.lax.scan(step, zx0, (fx, fu, K, k))
+    return zx, zu
+
+
+def armijo_slope(Qx, Qu, p, zx, zu):
+    """gradient' * delta_z with the Lagrangian gradient
+    Lx_t = Qx_t - p_t, Lu_t = Qu_t (reference: src/solve.jl:67-83 +
+    src/forward_pass.jl:18-23)."""
+    return jnp.sum((Qx - p) * zx) + jnp.sum(Qu * zu)
+
+
+def line_search(
+    spec: ProblemSpec,
+    objective_fn,  # (xs, us) -> (J, c)
+    xbar,
+    ubar,
+    ws,
+    K,
+    k,
+    slope,
+    J_prev,
+    c_prev,
+    options: Options,
+):
+    """Parallel-alpha Armijo search.
+
+    Returns (xs, us, J, c, status, step_size): the accepted candidate promoted
+    to nominal, or the unchanged nominal with status=False on failure
+    (reference: src/forward_pass.jl:44-56).
+    """
+    na = options.num_step_sizes
+    alphas = 0.5 ** jnp.arange(na, dtype=xbar.dtype)
+
+    def try_alpha(alpha):
+        xs, us = closed_loop_rollout(spec, xbar, ubar, ws, K, k, alpha)
+        J, c = objective_fn(xs, us)
+        return xs, us, J, c
+
+    xs_c, us_c, J_c, c_c = jax.vmap(try_alpha)(alphas)
+
+    c1 = jnp.asarray(options.armijo_c1, xbar.dtype)
+    accept = (J_c <= J_prev + c1 * alphas * slope) & jnp.isfinite(J_c)
+    status = jnp.any(accept)
+    idx = jnp.argmax(accept)  # first (largest-alpha) accepted candidate
+
+    def pick(arr_c, fallback):
+        return jnp.where(status, arr_c[idx], fallback)
+
+    xs = pick(xs_c, xbar)
+    us = pick(us_c, ubar)
+    J = jnp.where(status, J_c[idx], J_prev)
+    c = pick(c_c, c_prev)  # nominal (and its violations) unchanged on failure
+    # on failure the reference's loop exits having halved past min_step_size
+    step_size = jnp.where(status, alphas[idx], alphas[-1] * 0.5)
+    return xs, us, J, c, status, step_size
