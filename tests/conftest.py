@@ -13,10 +13,14 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+# NOTE: the environment's sitecustomize re-exports JAX_PLATFORMS=axon at
+# interpreter startup, so the env var cannot be trusted; the config update
+# below is what actually pins the test backend to CPU.
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 # persistent compilation cache: recompiles of the jitted solve across test
