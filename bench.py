@@ -1,0 +1,142 @@
+"""Headline benchmark: batched acrobot swing-up, T=101, solves/sec/chip.
+
+Metric (BASELINE.json): iLQR solves/sec/chip at acrobot T=101, wall-clock to
+constraint violation < tolerance.  The batch is 4096 perturbed initial
+conditions (BASELINE.json configs[3]) sharded over all local devices; every
+instance must actually converge (solved fraction is checked and reported).
+
+Baseline: the reference publishes no numbers and Julia is not in this image
+(BASELINE.md), so ``vs_baseline`` is measured against the sequential
+single-core NumPy implementation of the same algorithm
+(benchmarks/numpy_reference.py) solving the same problem in float64 — the
+honest stand-in for the reference's single-threaded CPU execution model.  The
+baseline is measured once and cached in benchmarks/baseline_local.json.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("XLA_FLAGS", "")
+
+
+def measure_baseline(T, cache_path):
+    """Single-core NumPy solves/sec at acrobot T (cached)."""
+    if os.path.exists(cache_path):
+        with open(cache_path) as f:
+            data = json.load(f)
+        if data.get("T") == T:
+            return data["solves_per_sec"], data
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "benchmarks"))
+    import numpy as np
+    from numpy_reference import acrobot_problem, solve
+
+    prob, x1, xT = acrobot_problem(T)
+    us = 0.05 * np.ones((T - 1, prob.m))
+    xs = np.zeros((T, prob.n))
+    for t in range(T - 1):
+        xs[t + 1] = prob.f(xs[t], us[t])
+    # warm once (allocator/caches), then time
+    solve(prob, xs, us)
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        _, _, info = solve(prob, xs, us)
+    dt = (time.perf_counter() - t0) / reps
+    assert info["max_violation"] <= 5.0e-3, "baseline failed to converge"
+    data = {
+        "T": T,
+        "solves_per_sec": 1.0 / dt,
+        "seconds_per_solve": dt,
+        "iterations": info["iterations"],
+        "impl": "benchmarks/numpy_reference.py (sequential, float64, 1 core)",
+    }
+    with open(cache_path, "w") as f:
+        json.dump(data, f, indent=1)
+    return data["solves_per_sec"], data
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--horizon", type=int, default=101)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--quick", action="store_true", help="small batch smoke run")
+    args = ap.parse_args()
+    if args.quick:
+        args.batch, args.reps = 64, 1
+
+    import jax
+    import jax.numpy as jnp
+
+    # persistent compile cache: the solve program is large
+    jax.config.update("jax_compilation_cache_dir", "/tmp/ilqr_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from iterativelqr_tpu import Options
+    from iterativelqr_tpu.core.spec import build_spec
+    from iterativelqr_tpu.models import acrobot
+    from iterativelqr_tpu.parallel import (
+        default_mesh,
+        make_sharded_solve_fn,
+        shard_batch,
+    )
+
+    T, B = args.horizon, args.batch
+    devices = jax.devices()
+    n_chips = len(devices)
+    mesh = default_mesh(devices)
+
+    dynamics, objective, constraints, x1, xT = acrobot.problem(T)
+    spec = build_spec(dynamics, objective, constraints)
+    opts = Options(verbose=False, record_traces=False)
+    solve = make_sharded_solve_fn(spec, opts, mesh=mesh)
+
+    dtype = jnp.float32
+    key = jax.random.PRNGKey(0)
+    # perturbed initial conditions around the hanging state (configs[3])
+    x0 = 0.05 * jax.random.normal(key, (B, spec.nx), dtype)
+    xs = jnp.zeros((B, T, spec.nx), dtype).at[:, 0, :].set(x0)
+    us = 0.05 * jnp.ones((B, T - 1, spec.nu), dtype)
+    ws = jnp.zeros((B, T, max(spec.npar, 0)), dtype)
+    xs, us, ws = shard_batch(mesh, "batch", xs, us, ws)
+
+    # compile + warm
+    sol, stats = solve(xs, us, ws)
+    jax.block_until_ready(stats)
+
+    t0 = time.perf_counter()
+    for _ in range(args.reps):
+        sol, stats = solve(xs, us, ws)
+        jax.block_until_ready(stats)
+    dt = (time.perf_counter() - t0) / args.reps
+
+    solved_fraction = float(stats.solved_fraction)
+    solves_per_sec_per_chip = B * solved_fraction / dt / n_chips
+
+    cache = os.path.join(os.path.dirname(__file__), "benchmarks", "baseline_local.json")
+    baseline_sps, _ = measure_baseline(T, cache)
+
+    print(
+        json.dumps(
+            {
+                "metric": f"acrobot_T{T}_al_ilqr_solves_per_sec_per_chip",
+                "value": round(solves_per_sec_per_chip, 3),
+                "unit": "solves/s/chip",
+                "vs_baseline": round(solves_per_sec_per_chip / baseline_sps, 2),
+                "batch": B,
+                "chips": n_chips,
+                "solved_fraction": round(solved_fraction, 4),
+                "wall_clock_s": round(dt, 4),
+                "backend": devices[0].platform,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -41,6 +41,11 @@ class Options:
     regularization_scale: float = 10.0
     max_regularization_steps: int = 20
 
+    # --- new: per-iteration metric traces (cost / gradient / violation / step)
+    # returned as arrays from the jitted solve; disable for maximum-throughput
+    # batched sweeps where the trace buffers cost HBM bandwidth ---
+    record_traces: bool = True
+
     # --- new: backward-pass implementation selector ---
     # "scan": sequential reverse lax.scan (default, matches reference recursion)
     # "associative": jax.lax.associative_scan parallel-prefix Riccati (O(log T) depth)

@@ -70,15 +70,9 @@ class _InnerCarry(NamedTuple):
     xs: jax.Array
     us: jax.Array
     J: jax.Array
-    obj_prev: jax.Array
     c: jax.Array
-    fx: jax.Array
-    fu: jax.Array
     K: jax.Array
     k: jax.Array
-    Qx: jax.Array
-    Qu: jax.Array
-    p: jax.Array
     reg: jax.Array
     grad_norm: jax.Array
     status: jax.Array
@@ -181,62 +175,79 @@ def make_solve_fn(
         return al_ops.max_violation(c, ineq, c_mask)
 
     def ilqr(xs, us, ws, duals, penalty, reg):
+        """Inner iLQR loop, restructured for single-trace bodies.
+
+        The reference order is {derive+backward before the loop; loop: forward,
+        derive+backward, check} (src/solve.jl:9-51).  Tracing `derive` twice
+        (entry + body) dominates jit lowering time, so here the body is
+        {derive+backward at the current nominal; gradient-tolerance check;
+        forward line search} with the line-search result discarded when the
+        gradient test already fired — the same sequence of accepted nominals
+        and the same stopping criteria, traced once.
+        """
         dtype = xs.dtype
         obj_fn = lambda xs_, us_: al_objective(xs_, us_, ws, duals, penalty)
         J0, c0 = obj_fn(xs, us)
-        fx, fu, K, k, Qx, Qu, p, gnorm0, reg1 = derive(
-            xs, us, ws, duals, penalty, c0, reg
-        )
-        zrow = jnp.zeros((options.max_iterations,), dtype)
+        n_tr = options.max_iterations if options.record_traces else 1
+        zrow = jnp.zeros((n_tr,), dtype)
         carry = _InnerCarry(
-            xs=xs, us=us, J=J0, obj_prev=J0, c=c0,
-            fx=fx, fu=fu, K=K, k=k, Qx=Qx, Qu=Qu, p=p,
-            reg=reg1, grad_norm=gnorm0,
+            xs=xs, us=us, J=J0, c=c0,
+            K=jnp.zeros((spec.T - 1, spec.nu, spec.nx), dtype),
+            k=jnp.zeros((spec.T - 1, spec.nu), dtype),
+            reg=reg, grad_norm=jnp.asarray(jnp.inf, dtype),
             status=jnp.asarray(True), stop=jnp.asarray(False),
             it=jnp.asarray(0), viol=viol_of(c0),
             step_size=jnp.ones((), dtype),
             tr_cost=zrow, tr_grad=zrow, tr_viol=zrow, tr_step=zrow,
-            tr_mask=jnp.zeros((options.max_iterations,), bool),
+            tr_mask=jnp.zeros((n_tr,), bool),
         )
 
         def cond(s: _InnerCarry):
             return (~s.stop) & (s.it < options.max_iterations)
 
         def body(s: _InnerCarry):
+            fx, fu, K, k, Qx, Qu, p, grad_norm, reg = derive(
+                s.xs, s.us, ws, duals, penalty, s.c, s.reg
+            )
+            # gradient stop at the current nominal
+            # (reference: src/solve.jl:48, checked there post-forward at the
+            # same point; also fires at the warm-started initial nominal)
+            stop_grad = grad_norm < options.lagrangian_gradient_tolerance
+
             if armijo:
-                zx, zu = trajectory_sensitivities(s.fx, s.fu, s.K, s.k)
-                slope = armijo_slope(s.Qx, s.Qu, s.p, zx, zu)
+                zx, zu = trajectory_sensitivities(fx, fu, K, k)
+                slope = armijo_slope(Qx, Qu, p, zx, zu)
             else:
                 slope = jnp.zeros((), dtype)
-            xs, us, J, c, status, step = line_search(
-                spec, obj_fn, s.xs, s.us, ws, s.K, s.k, slope, s.J, s.c, options
+            xs_n, us_n, J_n, c_n, status, step = line_search(
+                spec, obj_fn, s.xs, s.us, ws, K, k, slope, s.J, s.c, options
             )
-            if options.line_search != "none":
-                fx, fu, K, k, Qx, Qu, p, grad_norm, reg = derive(
-                    xs, us, ws, duals, penalty, c, s.reg
-                )
-            else:
-                fx, fu, K, k, Qx, Qu, p, grad_norm, reg = (
-                    s.fx, s.fu, s.K, s.k, s.Qx, s.Qu, s.p, s.grad_norm, s.reg
-                )
+            # discard the step if the gradient test already converged
+            keep = ~stop_grad
+            xs_n = jnp.where(keep, xs_n, s.xs)
+            us_n = jnp.where(keep, us_n, s.us)
+            J_n = jnp.where(keep, J_n, s.J)
+            c_n = jnp.where(keep, c_n, s.c)
+            status = jnp.where(keep, status, s.status)
+            step = jnp.where(keep, step, s.step_size)
+
             it = s.it + 1
-            viol = viol_of(c)
+            viol = viol_of(c_n)
             # convergence (reference: src/solve.jl:48-50)
             stop = (
-                (grad_norm < options.lagrangian_gradient_tolerance)
-                | (jnp.abs(J - s.obj_prev) < options.objective_tolerance)
+                stop_grad
+                | (jnp.abs(J_n - s.J) < options.objective_tolerance)
                 | (~status)
             )
             return _InnerCarry(
-                xs=xs, us=us, J=J, obj_prev=J, c=c,
-                fx=fx, fu=fu, K=K, k=k, Qx=Qx, Qu=Qu, p=p,
+                xs=xs_n, us=us_n, J=J_n, c=c_n, K=K, k=k,
                 reg=reg, grad_norm=grad_norm, status=status, stop=stop,
                 it=it, viol=viol, step_size=step,
-                tr_cost=s.tr_cost.at[s.it].set(J),
-                tr_grad=s.tr_grad.at[s.it].set(grad_norm),
-                tr_viol=s.tr_viol.at[s.it].set(viol),
-                tr_step=s.tr_step.at[s.it].set(step),
-                tr_mask=s.tr_mask.at[s.it].set(True),
+                tr_cost=s.tr_cost.at[s.it].set(J_n) if options.record_traces else s.tr_cost,
+                tr_grad=s.tr_grad.at[s.it].set(grad_norm) if options.record_traces else s.tr_grad,
+                tr_viol=s.tr_viol.at[s.it].set(viol) if options.record_traces else s.tr_viol,
+                tr_step=s.tr_step.at[s.it].set(step) if options.record_traces else s.tr_step,
+                tr_mask=s.tr_mask.at[s.it].set(True) if options.record_traces else s.tr_mask,
             )
 
         return jax.lax.while_loop(cond, body, carry)
@@ -246,7 +257,9 @@ def make_solve_fn(
         T = spec.T
         duals0 = jnp.zeros((T, nc), dtype)
         penalty0 = jnp.full((T, nc), options.initial_constraint_penalty, dtype)
-        zt = jnp.zeros((options.max_dual_updates, options.max_iterations), dtype)
+        n_tr = options.max_iterations if options.record_traces else 1
+        n_al = options.max_dual_updates if options.record_traces else 1
+        zt = jnp.zeros((n_al, n_tr), dtype)
         carry = _OuterCarry(
             xs=xs_init, us=us_init, ws=ws,
             duals=duals0, penalty=penalty0,
@@ -304,11 +317,11 @@ def make_solve_fn(
                 J=inner.J, grad_norm=inner.grad_norm, viol=inner.viol,
                 status=inner.status, step_size=inner.step_size,
                 K=inner.K, k=inner.k,
-                trace_cost=s.trace_cost.at[s.al_it].set(inner.tr_cost),
-                trace_grad=s.trace_grad.at[s.al_it].set(inner.tr_grad),
-                trace_viol=s.trace_viol.at[s.al_it].set(inner.tr_viol),
-                trace_step=s.trace_step.at[s.al_it].set(inner.tr_step),
-                trace_mask=s.trace_mask.at[s.al_it].set(inner.tr_mask),
+                trace_cost=s.trace_cost.at[s.al_it].set(inner.tr_cost) if options.record_traces else s.trace_cost,
+                trace_grad=s.trace_grad.at[s.al_it].set(inner.tr_grad) if options.record_traces else s.trace_grad,
+                trace_viol=s.trace_viol.at[s.al_it].set(inner.tr_viol) if options.record_traces else s.trace_viol,
+                trace_step=s.trace_step.at[s.al_it].set(inner.tr_step) if options.record_traces else s.trace_step,
+                trace_mask=s.trace_mask.at[s.al_it].set(inner.tr_mask) if options.record_traces else s.trace_mask,
             )
 
         s = jax.lax.while_loop(cond, body, carry)

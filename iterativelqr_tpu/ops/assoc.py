@@ -1,0 +1,148 @@
+"""Parallel-prefix (associative-scan) Riccati recursion.
+
+O(log T)-depth replacement for the sequential backward recursion (reference:
+src/backward_pass.jl:42-90 is a strict t = H-1..1 for-loop; SURVEY.md
+section 5 "long-context" row).  Based on the temporal-parallelization of LQT
+dynamic programming (PAPERS.md: "The Parallelization of Riccati Recursion"):
+the conditional value function between two timesteps is closed under
+composition, so the whole backward sweep is one ``jax.lax.associative_scan``.
+
+Each stage element encodes, after completing the square in the action,
+
+    V_{t, t+1}(x, z) = 1/2 (z - A x - b)' C^+ (z - A x - b)
+                       + 1/2 x' J x - eta' x  (+ const)
+
+with
+    A   = fx - fu Guu^{-1} Gux          b  = -fu Guu^{-1} gu
+    C   = fu Guu^{-1} fu'               J  = Gxx - Gux' Guu^{-1} Gux
+    eta = -(gx - Gux' Guu^{-1} gu)
+
+(Guu/Gxx/Gux are the *stage* Hessians; the iLQR delta-form has no affine
+dynamics residual because the nominal trajectory is dynamically feasible.)
+The terminal element is (A=0, b=0, C=0, J=gxx_T, eta=-gx_T).  Composition of a
+temporally earlier element ``i`` with a later element ``j``:
+
+    D     = (I + C_i J_j)^{-1}
+    A_ij  = A_j D A_i
+    b_ij  = A_j D (b_i + C_i eta... ) ...  (see ``_combine``)
+
+After the reverse scan, element t holds the value function at x_t:
+P_t = J, p_t = -eta.  Gains then come from one *batched* (vmapped) Q-expansion
+over all timesteps — no sequential dependence anywhere.
+
+Numerical regime: composition requires stage Guu (plus reg) to be positive
+definite, a slightly stronger condition than the sequential path's Quu
+PD-check; both paths share the same adaptive-regularization wrapper
+(ops/backward.py), so indefinite stages escalate ``reg`` identically.
+Validated against the sequential scan in tests/test_assoc.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _combine(ei, ej):
+    """Compose value-function elements: ``ei`` earlier in time than ``ej``."""
+    Ai, bi, Ci, etai, Ji = ei
+    Aj, bj, Cj, etaj, Jj = ej
+    nx = Ai.shape[-1]
+    I = jnp.eye(nx, dtype=Ai.dtype)
+    # D = (I + C_i J_j)^{-1}; solve once, reuse transposed identity
+    # (I + J_j C_i)^{-1} = D'-conjugate via transpose of the same LU
+    M = I + Ci @ Jj
+    D_Ai = jnp.linalg.solve(M, Ai)
+    D_bCe = jnp.linalg.solve(M, bi + Ci @ etaj)
+    D_Ci = jnp.linalg.solve(M, Ci)
+    A = Aj @ D_Ai
+    b = Aj @ D_bCe + bj
+    C = Aj @ D_Ci @ Aj.T + Cj
+    C = 0.5 * (C + C.T)
+    # (I + J_j C_i)^{-1} v  =  solve(M', v) since M' = I + J_j' C_i' = I + Jj Ci
+    # for symmetric Jj, Ci
+    MT = M.T
+    eta = Ai.T @ jnp.linalg.solve(MT, etaj - Jj @ bi) + etai
+    J = Ai.T @ jnp.linalg.solve(MT, Jj @ Ai) + Ji
+    J = 0.5 * (J + J.T)
+    return A, b, C, eta, J
+
+
+def backward_pass_associative(fx, fu, gx, gu, gxx, guu, gux, u_mask, reg):
+    """Associative-scan Riccati; same signature/returns as backward_pass_scan.
+
+    Returns (K [T-1,nu,nx], k [T-1,nu], Qx [T-1,nx], Qu [T-1,nu], p [T-1,nx],
+    ok) — ``p`` is the value gradient at t, matching ops/backward.py.
+    """
+    dtype = gx.dtype
+    Tm1, nx = fx.shape[0], fx.shape[1]
+    um = u_mask.astype(dtype)
+
+    def make_element(fx_t, fu_t, gx_t, gu_t, gxx_t, guu_t, gux_t, um_t):
+        mask2 = um_t[:, None] * um_t[None, :]
+        Guu = guu_t * mask2 + jnp.diag(1.0 - um_t) + reg * jnp.diag(um_t)
+        L = jnp.linalg.cholesky(Guu)
+        diag = jnp.diagonal(L)
+        ok_t = jnp.all(jnp.isfinite(diag) & (diag > 0.0))
+        Gi_Gux = jax.scipy.linalg.cho_solve((L, True), gux_t)    # Guu^{-1} Gux
+        Gi_gu = jax.scipy.linalg.cho_solve((L, True), gu_t[:, None])[:, 0]
+        Gi_fuT = jax.scipy.linalg.cho_solve((L, True), fu_t.T)   # Guu^{-1} fu'
+        A = fx_t - fu_t @ Gi_Gux
+        b = -fu_t @ Gi_gu
+        C = fu_t @ Gi_fuT
+        C = 0.5 * (C + C.T)
+        J = gxx_t - gux_t.T @ Gi_Gux
+        J = 0.5 * (J + J.T)
+        eta = -(gx_t - gux_t.T @ Gi_gu)
+        return (A, b, C, eta, J), ok_t
+
+    stage_elems, ok_stage = jax.vmap(make_element)(
+        fx, fu, gx[:-1], gu, gxx[:-1], guu, gux, um
+    )
+
+    # append the terminal element
+    zA = jnp.zeros((1, nx, nx), dtype)
+    term = (
+        zA,
+        jnp.zeros((1, nx), dtype),
+        zA,
+        -gx[-1][None],
+        gxx[-1][None],
+    )
+    elems = jax.tree.map(
+        lambda s, t: jnp.concatenate([s, t], axis=0), stage_elems, term
+    )
+
+    # reverse prefix: result[t] = e_t (x) e_{t+1} (x) ... (x) e_{T-1}.
+    # Under reverse=True the scan is a forward scan over flipped inputs, so the
+    # operator's first argument is the temporally *later* accumulation — swap
+    # into _combine's (earlier, later) convention.
+    res = jax.lax.associative_scan(
+        jax.vmap(lambda a, b: _combine(b, a)), elems, reverse=True, axis=0
+    )
+    _, _, _, eta_all, J_all = res
+    P = J_all   # [T, nx, nx]; value Hessian at each t
+    p = -eta_all  # [T, nx];    value gradient at each t
+
+    # gains from the value function at t+1: one batched Q-expansion
+    def gains(fx_t, fu_t, gx_t, gu_t, gxx_t, guu_t, gux_t, um_t, P1, p1):
+        fuT = fu_t.T
+        Qx = gx_t + fx_t.T @ p1
+        Qu = gu_t + fuT @ p1
+        fuTP = fuT @ P1
+        Quu = guu_t + fuTP @ fu_t
+        Qux = gux_t + fuTP @ fx_t
+        mask2 = um_t[:, None] * um_t[None, :]
+        Quu_eff = Quu * mask2 + jnp.diag(1.0 - um_t)
+        L = jnp.linalg.cholesky(Quu_eff + reg * jnp.diag(um_t))
+        diag = jnp.diagonal(L)
+        ok_t = jnp.all(jnp.isfinite(diag) & (diag > 0.0))
+        K = -jax.scipy.linalg.cho_solve((L, True), Qux) * um_t[:, None]
+        k = -jax.scipy.linalg.cho_solve((L, True), Qu[:, None])[:, 0] * um_t
+        return K, k, Qx, Qu, ok_t
+
+    K, k, Qx, Qu, ok_gain = jax.vmap(gains)(
+        fx, fu, gx[:-1], gu, gxx[:-1], guu, gux, um, P[1:], p[1:]
+    )
+    ok = jnp.all(ok_stage) & jnp.all(ok_gain) & jnp.all(jnp.isfinite(p))
+    return K, k, Qx, Qu, p[:-1], ok

@@ -109,25 +109,40 @@ def backward_pass(fx, fu, gx, gu, gxx, guu, gux, u_mask, reg_carry, options: Opt
     else:
         bp = backward_pass_scan
 
-    def attempt(reg):
-        return bp(fx, fu, gx, gu, gxx, guu, gux, u_mask, reg)
-
-    K, k, Qx, Qu, p, ok = attempt(reg_carry)
-    state = (jnp.asarray(0), reg_carry, ok, (K, k, Qx, Qu, p))
+    # The recursion is traced exactly ONCE (inside the retry body; the first
+    # loop iteration is the unregularized/carried-reg attempt) — trace time of
+    # the jitted solve is dominated by Python tracing, not XLA compilation, so
+    # every extra trace of the scan body is expensive.
+    dtype = gx.dtype
+    Tm1, nx, nu = fx.shape[0], fx.shape[1], u_mask.shape[1]
+    zero_out = (
+        jnp.zeros((Tm1, nu, nx), dtype),
+        jnp.zeros((Tm1, nu), dtype),
+        jnp.zeros((Tm1, nx), dtype),
+        jnp.zeros((Tm1, nu), dtype),
+        jnp.zeros((Tm1, nx), dtype),
+    )
+    state = (
+        jnp.asarray(0),
+        reg_carry,          # reg to try next
+        reg_carry,          # reg actually used by the last attempt
+        jnp.asarray(False), # last attempt ok
+        zero_out,
+    )
 
     def cond(s):
-        i, _, ok, _ = s
-        return (~ok) & (i < options.max_regularization_steps)
+        i, _, _, ok, _ = s
+        return (~ok) & (i <= options.max_regularization_steps)
 
     def body(s):
-        i, reg, _, _ = s
+        i, reg, _, _, _ = s
+        K, k, Qx, Qu, p, ok = bp(fx, fu, gx, gu, gxx, guu, gux, u_mask, reg)
         reg_next = jnp.maximum(reg * options.regularization_scale,
                                options.regularization_min)
         reg_next = jnp.minimum(reg_next, options.regularization_max)
-        K, k, Qx, Qu, p, ok = attempt(reg_next)
-        return (i + 1, reg_next, ok, (K, k, Qx, Qu, p))
+        return (i + 1, reg_next, reg, ok, (K, k, Qx, Qu, p))
 
-    _, reg_used, ok, (K, k, Qx, Qu, p) = jax.lax.while_loop(cond, body, state)
+    _, _, reg_used, ok, (K, k, Qx, Qu, p) = jax.lax.while_loop(cond, body, state)
 
     # decay for the next iteration's first attempt
     reg_next_carry = jnp.where(

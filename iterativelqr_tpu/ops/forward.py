@@ -66,6 +66,21 @@ def line_search(
     to nominal, or the unchanged nominal with status=False on failure
     (reference: src/forward_pass.jl:44-56).
     """
+    if options.line_search == "none":
+        # unconditional full step (reference: src/options.jl:2 line_search
+        # :none skips backtracking; only rollout divergence rejects)
+        xs, us = closed_loop_rollout(spec, xbar, ubar, ws, K, k, 1.0)
+        J, c = objective_fn(xs, us)
+        ok = jnp.isfinite(J)
+        return (
+            jnp.where(ok, xs, xbar),
+            jnp.where(ok, us, ubar),
+            jnp.where(ok, J, J_prev),
+            jnp.where(ok, c, c_prev),
+            ok,
+            jnp.ones((), xbar.dtype),
+        )
+
     na = options.num_step_sizes
     alphas = 0.5 ** jnp.arange(na, dtype=xbar.dtype)
 
