@@ -81,10 +81,13 @@ def main():
     from iterativelqr_tpu.core.spec import build_spec
     from iterativelqr_tpu.models import acrobot
     from iterativelqr_tpu.parallel import (
+        batch_stats,
         default_mesh,
+        make_batched_solve_fn,
         make_sharded_solve_fn,
         shard_batch,
     )
+    from iterativelqr_tpu.utils.program_cache import cached_program
 
     T, B = args.horizon, args.batch
     devices = jax.devices()
@@ -94,7 +97,6 @@ def main():
     dynamics, objective, constraints, x1, xT = acrobot.problem(T)
     spec = build_spec(dynamics, objective, constraints)
     opts = Options(verbose=False, record_traces=False)
-    solve = make_sharded_solve_fn(spec, opts, mesh=mesh)
 
     dtype = jnp.float32
     key = jax.random.PRNGKey(0)
@@ -103,7 +105,41 @@ def main():
     xs = jnp.zeros((B, T, spec.nx), dtype).at[:, 0, :].set(x0)
     us = 0.05 * jnp.ones((B, T - 1, spec.nu), dtype)
     ws = jnp.zeros((B, T, max(spec.npar, 0)), dtype)
-    xs, us, ws = shard_batch(mesh, "batch", xs, us, ws)
+
+    if n_chips == 1:
+        # single chip: plain jitted batch, served from the on-repo program
+        # cache so the tunneled-backend lowering tax (~minutes) is paid once
+        def make():
+            batched = make_batched_solve_fn(spec, opts)
+
+            def fn(xs, us, ws):
+                sol = batched(xs, us, ws)
+                return sol, batch_stats(sol, opts.constraint_tolerance)
+
+            return fn
+
+        # key includes a hash of the package source so a code change can never
+        # silently serve a stale pre-lowered program
+        import hashlib
+        import glob
+
+        pkg = os.path.join(os.path.dirname(__file__), "iterativelqr_tpu")
+        h = hashlib.sha256()
+        for f in sorted(glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True)):
+            with open(f, "rb") as fh:
+                h.update(fh.read())
+        code_tag = h.hexdigest()[:10]
+
+        solve = cached_program(
+            make,
+            f"bench_acrobot_T{T}_B{B}_f32_{code_tag}",
+            (xs, us, ws),
+            cache_dir=os.path.join(os.path.dirname(__file__), "benchmarks", "cache"),
+            verbose=True,
+        )
+    else:
+        solve = make_sharded_solve_fn(spec, opts, mesh=mesh)
+        xs, us, ws = shard_batch(mesh, "batch", xs, us, ws)
 
     # compile + warm
     sol, stats = solve(xs, us, ws)

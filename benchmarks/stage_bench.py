@@ -1,0 +1,165 @@
+"""Per-stage microbenchmarks (TPU analog of reference test/benchmark.jl).
+
+Times each solver stage in isolation at a given (B, T) on the current
+backend: objective/constraint evaluation, derivative stacks + AL augmentation,
+backward pass (scan and associative variants), closed-loop rollout, and the
+full parallel-alpha line search.  Prints one JSON line per stage.
+
+Usage: python benchmarks/stage_bench.py [--batch 4096] [--horizon 101] [--cpu]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+import jax
+import jax.numpy as jnp
+
+
+def timeit(fn, args, reps=20, warmup=2):
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--horizon", type=int, default=101)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--reps", type=int, default=20)
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/ilqr_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from iterativelqr_tpu import Options
+    from iterativelqr_tpu.core.spec import build_spec
+    from iterativelqr_tpu.models import acrobot
+    from iterativelqr_tpu.ops import al as al_ops
+    from iterativelqr_tpu.ops import derivatives as dv
+    from iterativelqr_tpu.ops.assoc import backward_pass_associative
+    from iterativelqr_tpu.ops.backward import backward_pass_scan
+    from iterativelqr_tpu.ops.forward import line_search
+    from iterativelqr_tpu.ops.rollout import closed_loop_rollout
+
+    B, T = args.batch, args.horizon
+    dynamics, objective, constraints, x1, xT = acrobot.problem(T)
+    spec = build_spec(dynamics, objective, constraints)
+    opts = Options(verbose=False, record_traces=False)
+    dtype = jnp.float32
+    nx, nu, nc = spec.nx, spec.nu, spec.nc
+    ineq = jnp.asarray(spec.ineq_mask)
+    u_mask = jnp.asarray(spec.u_mask)
+
+    key = jax.random.PRNGKey(0)
+    xs = 0.1 * jax.random.normal(key, (B, T, nx), dtype)
+    us = 0.05 * jnp.ones((B, T - 1, nu), dtype)
+    ws = jnp.zeros((B, T, max(spec.npar, 0)), dtype)
+    duals = jnp.zeros((B, T, nc), dtype)
+    penalty = jnp.ones((B, T, nc), dtype)
+
+    prec = jax.default_matmul_precision
+
+    @jax.jit
+    def stage_objective(xs, us, ws, duals, penalty):
+        with prec("float32"):
+            def one(xs, us, ws, duals, penalty):
+                J = dv.total_cost(spec, xs, us, ws)
+                c = dv.constraint_values(spec, xs, us, ws)
+                return J + al_ops.al_terms(c, duals, penalty, ineq), c
+            return jax.vmap(one)(xs, us, ws, duals, penalty)
+
+    @jax.jit
+    def stage_derive(xs, us, ws, duals, penalty):
+        with prec("float32"):
+            def one(xs, us, ws, duals, penalty):
+                fx, fu = dv.dynamics_jacobians(spec, xs, us, ws)
+                gx, gu = dv.cost_gradients(spec, xs, us, ws)
+                gxx, guu, gux = dv.cost_hessians(spec, xs, us, ws)
+                c = dv.constraint_values(spec, xs, us, ws)
+                cx, cu = dv.constraint_jacobians(spec, xs, us, ws)
+                dgx, dgu, dgxx, dguu, dgux = al_ops.al_gradient_terms(
+                    c, cx, cu, duals, penalty, ineq
+                )
+                return fx, fu, gx + dgx, gu + dgu, gxx + dgxx, guu + dguu, gux + dgux
+            return jax.vmap(one)(xs, us, ws, duals, penalty)
+
+    stacks = stage_derive(xs, us, ws, duals, penalty)
+    jax.block_until_ready(stacks)
+    fx, fu, gx, gu, gxx, guu, gux = stacks
+    reg = jnp.zeros((), dtype)
+
+    @jax.jit
+    def stage_backward_scan(fx, fu, gx, gu, gxx, guu, gux):
+        with prec("float32"):
+            return jax.vmap(
+                lambda *a: backward_pass_scan(*a, u_mask, reg)
+            )(fx, fu, gx, gu, gxx, guu, gux)
+
+    @jax.jit
+    def stage_backward_assoc(fx, fu, gx, gu, gxx, guu, gux):
+        with prec("float32"):
+            return jax.vmap(
+                lambda *a: backward_pass_associative(*a, u_mask, reg)
+            )(fx, fu, gx, gu, gxx, guu, gux)
+
+    K, kff, Qx, Qu, p, ok = stage_backward_scan(fx, fu, gx, gu, gxx, guu, gux)
+    jax.block_until_ready(K)
+
+    @jax.jit
+    def stage_rollout(xs, us, ws, K, kff):
+        with prec("float32"):
+            return jax.vmap(
+                lambda xs, us, ws, K, kff: closed_loop_rollout(
+                    spec, xs, us, ws, K, kff, 0.5
+                )
+            )(xs, us, ws, K, kff)
+
+    @jax.jit
+    def stage_line_search(xs, us, ws, K, kff, duals, penalty):
+        with prec("float32"):
+            def one(xs, us, ws, K, kff, duals, penalty):
+                def obj_fn(xs_, us_):
+                    J = dv.total_cost(spec, xs_, us_, ws)
+                    c = dv.constraint_values(spec, xs_, us_, ws)
+                    return J + al_ops.al_terms(c, duals, penalty, ineq), c
+                J0, c0 = obj_fn(xs, us)
+                return line_search(
+                    spec, obj_fn, xs, us, ws, K, kff,
+                    jnp.asarray(-1.0, xs.dtype), J0, c0, opts,
+                )
+            return jax.vmap(one)(xs, us, ws, K, kff, duals, penalty)
+
+    stages = {
+        "objective_eval": (stage_objective, (xs, us, ws, duals, penalty)),
+        "derivatives_al": (stage_derive, (xs, us, ws, duals, penalty)),
+        "backward_scan": (stage_backward_scan, (fx, fu, gx, gu, gxx, guu, gux)),
+        "backward_assoc": (stage_backward_assoc, (fx, fu, gx, gu, gxx, guu, gux)),
+        "rollout": (stage_rollout, (xs, us, ws, K, kff)),
+        "line_search_full": (stage_line_search, (xs, us, ws, K, kff, duals, penalty)),
+    }
+    for name, (fn, a) in stages.items():
+        try:
+            dt = timeit(fn, a, reps=args.reps)
+            print(json.dumps({
+                "stage": name, "ms": round(dt * 1e3, 3), "batch": B,
+                "horizon": T, "backend": jax.default_backend(),
+                "us_per_instance": round(dt / B * 1e6, 3),
+            }), flush=True)
+        except Exception as e:  # keep going; report the failure
+            print(json.dumps({"stage": name, "error": str(e)[:200]}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -15,6 +15,7 @@ from .core.solve import CallbackState, Solution, make_solve_fn
 from .core.solver import Solver
 from .core.spec import Constraint, Cost, Dynamics, ProblemSpec, build_spec
 from .ops.rollout import rollout
+from .ops.sensitivity import parameter_gradient, solution_parameter_gradient
 
 __all__ = [
     "Cost",
@@ -28,6 +29,8 @@ __all__ = [
     "build_spec",
     "make_solve_fn",
     "rollout",
+    "parameter_gradient",
+    "solution_parameter_gradient",
 ]
 
 __version__ = "0.1.0"

@@ -74,6 +74,13 @@ def cost_hessians(spec: ProblemSpec, xs, us, ws):
     return gxx, guu[:-1], gux[:-1]
 
 
+def dynamics_values(spec: ProblemSpec, xs, us, ws):
+    """f_t(x_t, u_t, w_t) for all t, [T-1, nx] (horizon-stacked evaluation)."""
+    return _grouped(
+        spec.dyn_eval, spec.dyn_groups, spec.T - 1, (xs[:-1], us, ws[:-1])
+    )
+
+
 def dynamics_jacobians(spec: ProblemSpec, xs, us, ws):
     """fx [T-1,nx,nx], fu [T-1,nx,nu] (reference: src/dynamics.jl:41-50)."""
     return _grouped(
