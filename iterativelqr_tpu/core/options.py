@@ -46,6 +46,10 @@ class Options:
     # batched sweeps where the trace buffers cost HBM bandwidth ---
     record_traces: bool = True
 
+    # --- new: horizon-scan unroll factor (lax.scan unroll=) — amortizes
+    # per-step loop overhead on TPU at some compile-time/program-size cost ---
+    scan_unroll: int = 4
+
     # --- new: backward-pass implementation selector ---
     # "scan": sequential reverse lax.scan (default, matches reference recursion)
     # "associative": jax.lax.associative_scan parallel-prefix Riccati (O(log T) depth)

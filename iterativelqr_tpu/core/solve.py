@@ -220,12 +220,15 @@ def make_solve_fn(
             stop_grad = grad_norm < options.lagrangian_gradient_tolerance
 
             if armijo:
-                zx, zu = trajectory_sensitivities(fx, fu, K, k)
+                zx, zu = trajectory_sensitivities(
+                    fx, fu, K, k, unroll=options.scan_unroll
+                )
                 slope = armijo_slope(Qx, Qu, p, zx, zu)
             else:
                 slope = jnp.zeros((), dtype)
             xs_n, us_n, J_n, c_n, status, step = line_search(
-                spec, obj_fn, s.xs, s.us, ws, K, k, slope, s.J, s.c, options
+                spec, obj_fn, s.xs, s.us, ws, K, k, slope, s.J, s.c, options,
+                duals=duals, penalty=penalty,
             )
             # discard the step if the gradient test already converged
             keep = ~stop_grad

@@ -42,6 +42,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from . import linalg_small
+
 
 def _combine(ei, ej):
     """Compose value-function elements: ``ei`` earlier in time than ``ej``."""
@@ -51,24 +53,29 @@ def _combine(ei, ej):
     I = jnp.eye(nx, dtype=Ai.dtype)
     # D = (I + C_i J_j)^{-1}; solve once, reuse transposed identity
     # (I + J_j C_i)^{-1} = D'-conjugate via transpose of the same LU
-    M = I + Ci @ Jj
-    D_Ai = jnp.linalg.solve(M, Ai)
-    D_bCe = jnp.linalg.solve(M, bi + Ci @ etaj)
-    D_Ci = jnp.linalg.solve(M, Ci)
-    A = Aj @ D_Ai
-    b = Aj @ D_bCe + bj
-    C = Aj @ D_Ci @ Aj.T + Cj
+    # one unrolled Gaussian solve per operator (ops/linalg_small.py) — the
+    # batched LAPACK-style LU was 50x slower than the whole sequential scan on
+    # TPU.  M = I + C_i J_j is well conditioned (C, J PSD => Re(eig) >= 1).
+    mm, mv = linalg_small.matmul, linalg_small.matvec
+    M = I + mm(Ci, Jj)
+    rhs = jnp.concatenate([Ai, (bi + mv(Ci, etaj))[:, None], Ci], axis=1)
+    sol = linalg_small.solve(M, rhs)
+    D_Ai, D_bCe, D_Ci = sol[:, :nx], sol[:, nx], sol[:, nx + 1 :]
+    A = mm(Aj, D_Ai)
+    b = mv(Aj, D_bCe) + bj
+    C = mm(mm(Aj, D_Ci), Aj.T) + Cj
     C = 0.5 * (C + C.T)
     # (I + J_j C_i)^{-1} v  =  solve(M', v) since M' = I + J_j' C_i' = I + Jj Ci
     # for symmetric Jj, Ci
-    MT = M.T
-    eta = Ai.T @ jnp.linalg.solve(MT, etaj - Jj @ bi) + etai
-    J = Ai.T @ jnp.linalg.solve(MT, Jj @ Ai) + Ji
+    rhsT = jnp.concatenate([(etaj - mv(Jj, bi))[:, None], mm(Jj, Ai)], axis=1)
+    solT = linalg_small.solve(M.T, rhsT)
+    eta = mv(Ai.T, solT[:, 0]) + etai
+    J = mm(Ai.T, solT[:, 1:]) + Ji
     J = 0.5 * (J + J.T)
     return A, b, C, eta, J
 
 
-def backward_pass_associative(fx, fu, gx, gu, gxx, guu, gux, u_mask, reg):
+def backward_pass_associative(fx, fu, gx, gu, gxx, guu, gux, u_mask, reg, unroll=1):
     """Associative-scan Riccati; same signature/returns as backward_pass_scan.
 
     Returns (K [T-1,nu,nx], k [T-1,nu], Qx [T-1,nx], Qu [T-1,nu], p [T-1,nx],
@@ -81,12 +88,15 @@ def backward_pass_associative(fx, fu, gx, gu, gxx, guu, gux, u_mask, reg):
     def make_element(fx_t, fu_t, gx_t, gu_t, gxx_t, guu_t, gux_t, um_t):
         mask2 = um_t[:, None] * um_t[None, :]
         Guu = guu_t * mask2 + jnp.diag(1.0 - um_t) + reg * jnp.diag(um_t)
-        L = jnp.linalg.cholesky(Guu)
+        L = linalg_small.cholesky(Guu)
         diag = jnp.diagonal(L)
         ok_t = jnp.all(jnp.isfinite(diag) & (diag > 0.0))
-        Gi_Gux = jax.scipy.linalg.cho_solve((L, True), gux_t)    # Guu^{-1} Gux
-        Gi_gu = jax.scipy.linalg.cho_solve((L, True), gu_t[:, None])[:, 0]
-        Gi_fuT = jax.scipy.linalg.cho_solve((L, True), fu_t.T)   # Guu^{-1} fu'
+        sol = linalg_small.cho_solve(
+            L, jnp.concatenate([gux_t, gu_t[:, None], fu_t.T], axis=1)
+        )
+        Gi_Gux = sol[:, : gux_t.shape[1]]                        # Guu^{-1} Gux
+        Gi_gu = sol[:, gux_t.shape[1]]
+        Gi_fuT = sol[:, gux_t.shape[1] + 1 :]                    # Guu^{-1} fu'
         A = fx_t - fu_t @ Gi_Gux
         b = -fu_t @ Gi_gu
         C = fu_t @ Gi_fuT
@@ -134,11 +144,12 @@ def backward_pass_associative(fx, fu, gx, gu, gxx, guu, gux, u_mask, reg):
         Qux = gux_t + fuTP @ fx_t
         mask2 = um_t[:, None] * um_t[None, :]
         Quu_eff = Quu * mask2 + jnp.diag(1.0 - um_t)
-        L = jnp.linalg.cholesky(Quu_eff + reg * jnp.diag(um_t))
+        L = linalg_small.cholesky(Quu_eff + reg * jnp.diag(um_t))
         diag = jnp.diagonal(L)
         ok_t = jnp.all(jnp.isfinite(diag) & (diag > 0.0))
-        K = -jax.scipy.linalg.cho_solve((L, True), Qux) * um_t[:, None]
-        k = -jax.scipy.linalg.cho_solve((L, True), Qu[:, None])[:, 0] * um_t
+        sol = linalg_small.cho_solve(L, jnp.concatenate([Qux, Qu[:, None]], axis=1))
+        K = -sol[:, :-1] * um_t[:, None]
+        k = -sol[:, -1] * um_t
         return K, k, Qx, Qu, ok_t
 
     K, k, Qx, Qu, ok_gain = jax.vmap(gains)(

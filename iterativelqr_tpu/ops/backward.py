@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.options import Options
+from . import linalg_small
 
 
 def riccati_step(P, p, fx_t, fu_t, gx_t, gu_t, gxx_t, guu_t, gux_t, um, reg):
@@ -34,15 +35,19 @@ def riccati_step(P, p, fx_t, fu_t, gx_t, gu_t, gxx_t, guu_t, gux_t, um, reg):
     update), with padding masks and regularization added.  ``um`` is the float
     action-validity mask [nu].
     """
-    fxT = fx_t.T
-    fuT = fu_t.T
-    Qx = gx_t + fxT @ p
-    Qu = gu_t + fuT @ p
-    fxTP = fxT @ P
-    fuTP = fuT @ P
-    Qxx = gxx_t + fxTP @ fx_t
-    Quu = guu_t + fuTP @ fu_t
-    Qux = gux_t + fuTP @ fx_t
+    # all products via broadcast-multiply-reduce (linalg_small.matmul): a
+    # dot_general per 4x4 product costs a ~20us kernel on TPU; this form lets
+    # XLA fuse the whole step body into a handful of kernels
+    mm, mv = linalg_small.matmul, linalg_small.matvec
+    fxT = jnp.swapaxes(fx_t, -1, -2)
+    fuT = jnp.swapaxes(fu_t, -1, -2)
+    Qx = gx_t + mv(fxT, p)
+    Qu = gu_t + mv(fuT, p)
+    fxTP = mm(fxT, P)
+    fuTP = mm(fuT, P)
+    Qxx = gxx_t + mm(fxTP, fx_t)
+    Quu = guu_t + mm(fuTP, fu_t)
+    Qux = gux_t + mm(fuTP, fx_t)
 
     # padded action dims: identity diagonal so the factorization is well posed
     # and the corresponding gain rows vanish
@@ -50,24 +55,30 @@ def riccati_step(P, p, fx_t, fu_t, gx_t, gu_t, gxx_t, guu_t, gux_t, um, reg):
     Quu_eff = Quu * mask2 + jnp.diag(1.0 - um)
     Quu_reg = Quu_eff + reg * jnp.diag(um)
 
-    L = jnp.linalg.cholesky(Quu_reg)
+    # unrolled small-matrix Cholesky/solves (ops/linalg_small.py): the stock
+    # blocked factorizations dominate the whole backward pass on TPU at these
+    # tiny dimensions
+    L = linalg_small.cholesky(Quu_reg)
     diag = jnp.diagonal(L)
     ok = jnp.all(jnp.isfinite(diag) & (diag > 0.0))
 
     # K = -Quu \ Qux ; k = -Quu \ Qu  (reference: src/backward_pass.jl:66-75)
-    K = -jax.scipy.linalg.cho_solve((L, True), Qux) * um[:, None]
-    k = -jax.scipy.linalg.cho_solve((L, True), Qu[:, None])[:, 0] * um
+    sol = linalg_small.cho_solve(L, jnp.concatenate([Qux, Qu[:, None]], axis=1))
+    K = -sol[:, :-1] * um[:, None]
+    k = -sol[:, -1] * um
 
     # value update with the *unregularized* Quu, matching the reference exactly
     # when no regularization was needed (src/backward_pass.jl:77-89)
-    QuuK = Quu_eff @ K
-    P_new = Qxx + K.T @ QuuK + K.T @ Qux + Qux.T @ K
-    P_new = 0.5 * (P_new + P_new.T)
-    p_new = Qx + QuuK.T @ k + K.T @ Qu + Qux.T @ k
+    KT = jnp.swapaxes(K, -1, -2)
+    QuxT = jnp.swapaxes(Qux, -1, -2)
+    QuuK = mm(Quu_eff, K)
+    P_new = Qxx + mm(KT, QuuK) + mm(KT, Qux) + mm(QuxT, K)
+    P_new = 0.5 * (P_new + jnp.swapaxes(P_new, -1, -2))
+    p_new = Qx + mv(jnp.swapaxes(QuuK, -1, -2), k) + mv(KT, Qu) + mv(QuxT, k)
     return P_new, p_new, ok, K, k, Qx, Qu
 
 
-def backward_pass_scan(fx, fu, gx, gu, gxx, guu, gux, u_mask, reg):
+def backward_pass_scan(fx, fu, gx, gu, gxx, guu, gux, u_mask, reg, unroll=1):
     """Reverse-scan Riccati recursion.
 
     Returns (K [T-1,nu,nx], k [T-1,nu], Qx [T-1,nx], Qu [T-1,nu],
@@ -92,6 +103,7 @@ def backward_pass_scan(fx, fu, gx, gu, gxx, guu, gux, u_mask, reg):
         init,
         (fx, fu, gx[:-1], gu, gxx[:-1], guu, gux, um),
         reverse=True,
+        unroll=unroll,
     )
     return K, k, Qx, Qu, p, ok
 
@@ -136,7 +148,10 @@ def backward_pass(fx, fu, gx, gu, gxx, guu, gux, u_mask, reg_carry, options: Opt
 
     def body(s):
         i, reg, _, _, _ = s
-        K, k, Qx, Qu, p, ok = bp(fx, fu, gx, gu, gxx, guu, gux, u_mask, reg)
+        K, k, Qx, Qu, p, ok = bp(
+            fx, fu, gx, gu, gxx, guu, gux, u_mask, reg,
+            unroll=options.scan_unroll,
+        )
         reg_next = jnp.maximum(reg * options.regularization_scale,
                                options.regularization_min)
         reg_next = jnp.minimum(reg_next, options.regularization_max)

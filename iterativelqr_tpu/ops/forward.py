@@ -18,10 +18,11 @@ import jax.numpy as jnp
 
 from ..core.options import Options
 from ..core.spec import ProblemSpec
-from .rollout import closed_loop_rollout
+from . import linalg_small
+from .rollout import closed_loop_rollout, rollout_with_al_cost
 
 
-def trajectory_sensitivities(fx, fu, K, k):
+def trajectory_sensitivities(fx, fu, K, k, unroll=1):
     """Closed-loop linearized trajectory delta used for the Armijo slope
     (reference: src/data/methods.jl:42-54):
         zx_0 = 0;  zu_t = k_t + K_t zx_t;  zx_{t+1} = fx_t zx_t + fu_t zu_t
@@ -31,12 +32,13 @@ def trajectory_sensitivities(fx, fu, K, k):
 
     def step(zx, inp):
         fx_t, fu_t, K_t, k_t = inp
-        zu = k_t + K_t @ zx
-        zx_next = fx_t @ zx + fu_t @ zu
+        mv = linalg_small.matvec
+        zu = k_t + mv(K_t, zx)
+        zx_next = mv(fx_t, zx) + mv(fu_t, zu)
         return zx_next, (zx, zu)
 
     zx0 = jnp.zeros(fx.shape[-1], fx.dtype)
-    _, (zx, zu) = jax.lax.scan(step, zx0, (fx, fu, K, k))
+    _, (zx, zu) = jax.lax.scan(step, zx0, (fx, fu, K, k), unroll=unroll)
     return zx, zu
 
 
@@ -59,17 +61,27 @@ def line_search(
     J_prev,
     c_prev,
     options: Options,
+    duals=None,
+    penalty=None,
 ):
     """Parallel-alpha Armijo search.
 
     Returns (xs, us, J, c, status, step_size): the accepted candidate promoted
     to nominal, or the unchanged nominal with status=False on failure
     (reference: src/forward_pass.jl:44-56).
+
+    When ``duals``/``penalty`` are provided, candidate objectives are
+    accumulated *inside* the rollout scan (rollout_with_al_cost) and only the
+    winning candidate's constraint values are re-evaluated — the fast path
+    used by the solver; ``objective_fn`` then only serves the winner
+    re-evaluation.
     """
     if options.line_search == "none":
         # unconditional full step (reference: src/options.jl:2 line_search
         # :none skips backtracking; only rollout divergence rejects)
-        xs, us = closed_loop_rollout(spec, xbar, ubar, ws, K, k, 1.0)
+        xs, us = closed_loop_rollout(
+            spec, xbar, ubar, ws, K, k, 1.0, unroll=options.scan_unroll
+        )
         J, c = objective_fn(xs, us)
         ok = jnp.isfinite(J)
         return (
@@ -83,13 +95,25 @@ def line_search(
 
     na = options.num_step_sizes
     alphas = 0.5 ** jnp.arange(na, dtype=xbar.dtype)
+    fused = duals is not None
 
-    def try_alpha(alpha):
-        xs, us = closed_loop_rollout(spec, xbar, ubar, ws, K, k, alpha)
-        J, c = objective_fn(xs, us)
-        return xs, us, J, c
+    if fused:
+        def try_alpha(alpha):
+            return rollout_with_al_cost(
+                spec, xbar, ubar, ws, K, k, alpha, duals, penalty,
+                unroll=options.scan_unroll,
+            )
 
-    xs_c, us_c, J_c, c_c = jax.vmap(try_alpha)(alphas)
+        xs_c, us_c, J_c = jax.vmap(try_alpha)(alphas)
+    else:
+        def try_alpha(alpha):
+            xs, us = closed_loop_rollout(
+                spec, xbar, ubar, ws, K, k, alpha, unroll=options.scan_unroll
+            )
+            J, c = objective_fn(xs, us)
+            return xs, us, J, c
+
+        xs_c, us_c, J_c, c_c = jax.vmap(try_alpha)(alphas)
 
     c1 = jnp.asarray(options.armijo_c1, xbar.dtype)
     accept = (J_c <= J_prev + c1 * alphas * slope) & jnp.isfinite(J_c)
@@ -102,7 +126,12 @@ def line_search(
     xs = pick(xs_c, xbar)
     us = pick(us_c, ubar)
     J = jnp.where(status, J_c[idx], J_prev)
-    c = pick(c_c, c_prev)  # nominal (and its violations) unchanged on failure
+    if fused:
+        # constraint values for the winner only (1x batch instead of 17x)
+        _, c_win = objective_fn(xs, us)
+        c = jnp.where(status, c_win, c_prev)
+    else:
+        c = pick(c_c, c_prev)  # nominal violations unchanged on failure
     # on failure the reference's loop exits having halved past min_step_size
     step_size = jnp.where(status, alphas[idx], alphas[-1] * 0.5)
     return xs, us, J, c, status, step_size

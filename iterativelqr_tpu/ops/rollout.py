@@ -16,9 +16,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.spec import Dynamics, ProblemSpec
+from . import linalg_small
 
 
-def closed_loop_rollout(spec: ProblemSpec, xbar, ubar, ws, K, k, alpha):
+def closed_loop_rollout(spec: ProblemSpec, xbar, ubar, ws, K, k, alpha, unroll=1):
     """Roll out the policy from xbar[0]. Returns (xs [T,nx], us [T-1,nu])."""
     branches = spec.dyn_eval
     multi = len(branches) > 1
@@ -29,7 +30,7 @@ def closed_loop_rollout(spec: ProblemSpec, xbar, ubar, ws, K, k, alpha):
             ti, xb, ub, w, K_t, k_t = inp
         else:
             xb, ub, w, K_t, k_t = inp
-        u = ub + K_t @ (x - xb) + alpha * k_t
+        u = ub + linalg_small.matvec(K_t, x - xb) + alpha * k_t
         if multi:
             xn = jax.lax.switch(ti, branches, x, u, w)
         else:
@@ -39,9 +40,84 @@ def closed_loop_rollout(spec: ProblemSpec, xbar, ubar, ws, K, k, alpha):
     inputs = (xbar[:-1], ubar, ws[:-1], K, k)
     if multi:
         inputs = (tidx,) + inputs
-    x_last, (xs_head, us) = jax.lax.scan(step, xbar[0], inputs)
+    x_last, (xs_head, us) = jax.lax.scan(step, xbar[0], inputs, unroll=unroll)
     xs = jnp.concatenate([xs_head, x_last[None]], axis=0)
     return xs, us
+
+
+def rollout_with_al_cost(
+    spec: ProblemSpec, xbar, ubar, ws, K, k, alpha, duals, penalty, unroll=1
+):
+    """Closed-loop rollout with the AL objective accumulated inside the scan.
+
+    Fuses the line search's cost + constraint evaluation into the rollout loop
+    body so no candidate trajectory is re-read from HBM for a separate
+    objective pass (the dominant line-search cost at large batch).  Returns
+    (xs [T,nx], us [T-1,nu], J scalar).  Constraint values of the winning
+    candidate are re-evaluated once by the caller.
+    """
+    from . import al as al_ops
+
+    dyn_branches = spec.dyn_eval
+    cost_branches = spec.cost_eval
+    con_branches = spec.con_eval
+    multi_d = len(dyn_branches) > 1
+    multi_g = len(cost_branches) > 1
+    multi_c = len(con_branches) > 1
+    nc = spec.nc
+    ineq = jnp.asarray(spec.ineq_mask)
+    dtype = xbar.dtype
+
+    def al_term(c_t, lam_t, rho_t, ineq_t):
+        inactive = ineq_t & (c_t < 0.0) & (lam_t == 0.0)
+        a = jnp.where(inactive, 0.0, 1.0).astype(c_t.dtype)
+        return jnp.sum(lam_t * c_t) + 0.5 * jnp.sum(a * rho_t * c_t * c_t)
+
+    def step(carry, inp):
+        x, J = carry
+        (td, tg, tc, xb, ub, w, K_t, k_t, lam_t, rho_t, ineq_t) = inp
+        u = ub + linalg_small.matvec(K_t, x - xb) + alpha * k_t
+        g = (
+            jax.lax.switch(tg, cost_branches, x, u, w)
+            if multi_g
+            else cost_branches[0](x, u, w)
+        )
+        J = J + g
+        if nc > 0:
+            c_t = (
+                jax.lax.switch(tc, con_branches, x, u, w)
+                if multi_c
+                else con_branches[0](x, u, w)
+            )
+            J = J + al_term(c_t, lam_t, rho_t, ineq_t)
+        xn = (
+            jax.lax.switch(td, dyn_branches, x, u, w)
+            if multi_d
+            else dyn_branches[0](x, u, w)
+        )
+        return (xn, J), (x, u)
+
+    T = spec.T
+    td = jnp.asarray(spec.dyn_tidx)
+    tg = jnp.asarray(spec.cost_tidx[: T - 1])
+    tc = jnp.asarray(spec.con_tidx[: T - 1])
+    inputs = (
+        td, tg, tc, xbar[:-1], ubar, ws[:-1], K, k,
+        duals[:-1], penalty[:-1], ineq[:-1],
+    )
+    (x_last, J), (xs_head, us) = jax.lax.scan(
+        step, (xbar[0], jnp.zeros((), dtype)), inputs, unroll=unroll
+    )
+    xs = jnp.concatenate([xs_head, x_last[None]], axis=0)
+
+    # terminal stage: u = 0 (terminal stage functions have num_action == 0)
+    u0 = jnp.zeros((spec.nu,), dtype)
+    gT = spec.cost_eval[spec.cost_tidx[-1]](x_last, u0, ws[-1])
+    J = J + gT
+    if nc > 0:
+        cT = spec.con_eval[spec.con_tidx[-1]](x_last, u0, ws[-1])
+        J = J + al_term(cT, duals[-1], penalty[-1], ineq[-1])
+    return xs, us, J
 
 
 def open_loop_rollout(spec: ProblemSpec, x1, us, ws):
