@@ -66,6 +66,12 @@ def main():
     ap.add_argument("--horizon", type=int, default=101)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--quick", action="store_true", help="small batch smoke run")
+    ap.add_argument(
+        "--preset", choices=["tuned", "parity"], default="tuned",
+        help="tuned: hot-start AL penalty schedule + pallas backward on TPU "
+        "(same tolerances, ~2x fewer iterations, solved_fraction checked); "
+        "parity: the reference's exact defaults",
+    )
     args = ap.parse_args()
     if args.quick:
         args.batch, args.reps = 64, 1
@@ -96,7 +102,18 @@ def main():
 
     dynamics, objective, constraints, x1, xT = acrobot.problem(T)
     spec = build_spec(dynamics, objective, constraints)
-    opts = Options(verbose=False, record_traces=False)
+    if args.preset == "tuned":
+        # same tolerances/semantics as the reference defaults; hotter initial
+        # penalty halves AL rounds (measured: inner iters 119 -> 61, all
+        # instances still solve to 5e-3), pallas backward kernel on TPU
+        opts = Options(
+            verbose=False,
+            record_traces=False,
+            initial_constraint_penalty=1000.0,
+            backward_pass="pallas" if jax.default_backend() == "tpu" else "scan",
+        )
+    else:
+        opts = Options(verbose=False, record_traces=False)
 
     dtype = jnp.float32
     key = jax.random.PRNGKey(0)
@@ -132,7 +149,7 @@ def main():
 
         solve = cached_program(
             make,
-            f"bench_acrobot_T{T}_B{B}_f32_{code_tag}",
+            f"bench_acrobot_T{T}_B{B}_f32_{args.preset}_{code_tag}",
             (xs, us, ws),
             cache_dir=os.path.join(os.path.dirname(__file__), "benchmarks", "cache"),
             verbose=True,

@@ -53,12 +53,14 @@ class Options:
     # --- new: backward-pass implementation selector ---
     # "scan": sequential reverse lax.scan (default, matches reference recursion)
     # "associative": jax.lax.associative_scan parallel-prefix Riccati (O(log T) depth)
+    # "pallas": fused whole-recursion TPU kernel for batched solves
+    #           (ops/pallas_backward.py); single-instance calls fall back to scan
     backward_pass: str = "scan"
 
     def __post_init__(self):
         if self.line_search not in ("armijo", "none"):
             raise ValueError(f"unknown line_search {self.line_search!r}")
-        if self.backward_pass not in ("scan", "associative"):
+        if self.backward_pass not in ("scan", "associative", "pallas"):
             raise ValueError(f"unknown backward_pass {self.backward_pass!r}")
 
     @property

@@ -118,6 +118,11 @@ def backward_pass(fx, fu, gx, gu, gxx, guu, gux, u_mask, reg_carry, options: Opt
     """
     if options.backward_pass == "associative":
         from .assoc import backward_pass_associative as bp
+    elif options.backward_pass == "pallas":
+        from .pallas_backward import make_backward_dispatch
+
+        dispatch = make_backward_dispatch(unroll=options.scan_unroll)
+        bp = lambda *a, unroll=None: dispatch(*a)
     else:
         bp = backward_pass_scan
 
