@@ -110,6 +110,9 @@ def main():
             verbose=False,
             record_traces=False,
             initial_constraint_penalty=1000.0,
+            # 9-candidate alpha grid: identical convergence on this problem
+            # (accepted steps never fall below 4e-3), ~4x cheaper line search
+            min_step_size=4.0e-3,
             backward_pass="pallas" if jax.default_backend() == "tpu" else "scan",
         )
     else:

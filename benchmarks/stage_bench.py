@@ -104,7 +104,7 @@ def main():
     def stage_backward_scan(fx, fu, gx, gu, gxx, guu, gux):
         with prec("float32"):
             return jax.vmap(
-                lambda *a: backward_pass_scan(*a, u_mask, reg)
+                lambda *a: backward_pass_scan(*a, u_mask, reg, unroll=opts.scan_unroll)
             )(fx, fu, gx, gu, gxx, guu, gux)
 
     @jax.jit
@@ -122,24 +122,29 @@ def main():
         with prec("float32"):
             return jax.vmap(
                 lambda xs, us, ws, K, kff: closed_loop_rollout(
-                    spec, xs, us, ws, K, kff, 0.5
+                    spec, xs, us, ws, K, kff, 0.5, unroll=opts.scan_unroll
                 )
             )(xs, us, ws, K, kff)
 
-    @jax.jit
-    def stage_line_search(xs, us, ws, K, kff, duals, penalty):
-        with prec("float32"):
-            def one(xs, us, ws, K, kff, duals, penalty):
-                def obj_fn(xs_, us_):
-                    J = dv.total_cost(spec, xs_, us_, ws)
-                    c = dv.constraint_values(spec, xs_, us_, ws)
-                    return J + al_ops.al_terms(c, duals, penalty, ineq), c
-                J0, c0 = obj_fn(xs, us)
-                return line_search(
-                    spec, obj_fn, xs, us, ws, K, kff,
-                    jnp.asarray(-1.0, xs.dtype), J0, c0, opts,
-                )
-            return jax.vmap(one)(xs, us, ws, K, kff, duals, penalty)
+    def make_line_search(local_opts):
+        @jax.jit
+        def stage_line_search(xs, us, ws, K, kff, duals, penalty):
+            with prec("float32"):
+                def one(xs, us, ws, K, kff, duals, penalty):
+                    def obj_fn(xs_, us_):
+                        J = dv.total_cost(spec, xs_, us_, ws)
+                        c = dv.constraint_values(spec, xs_, us_, ws)
+                        return J + al_ops.al_terms(c, duals, penalty, ineq), c
+                    J0, c0 = obj_fn(xs, us)
+                    return line_search(
+                        spec, obj_fn, xs, us, ws, K, kff,
+                        jnp.asarray(-1.0, xs.dtype), J0, c0, local_opts,
+                        duals=duals, penalty=penalty,
+                    )
+                return jax.vmap(one)(xs, us, ws, K, kff, duals, penalty)
+        return stage_line_search
+
+    import dataclasses as _dc
 
     stages = {
         "objective_eval": (stage_objective, (xs, us, ws, duals, penalty)),
@@ -147,7 +152,17 @@ def main():
         "backward_scan": (stage_backward_scan, (fx, fu, gx, gu, gxx, guu, gux)),
         "backward_assoc": (stage_backward_assoc, (fx, fu, gx, gu, gxx, guu, gux)),
         "rollout": (stage_rollout, (xs, us, ws, K, kff)),
-        "line_search_full": (stage_line_search, (xs, us, ws, K, kff, duals, penalty)),
+        "line_search_full": (
+            make_line_search(opts), (xs, us, ws, K, kff, duals, penalty)
+        ),
+        "line_search_9alpha": (
+            make_line_search(_dc.replace(opts, min_step_size=4.0e-3)),
+            (xs, us, ws, K, kff, duals, penalty),
+        ),
+        "line_search_unroll8": (
+            make_line_search(_dc.replace(opts, scan_unroll=8)),
+            (xs, us, ws, K, kff, duals, penalty),
+        ),
     }
     for name, (fn, a) in stages.items():
         try:

@@ -230,6 +230,15 @@ def make_solve_fn(
                 spec, obj_fn, s.xs, s.us, ws, K, k, slope, s.J, s.c, options,
                 duals=duals, penalty=penalty,
             )
+            # barrier: an XLA CPU while-loop miscompilation was observed to
+            # deliver a stale `c` carry (one iteration behind xs/J — verified
+            # impossible in the program semantics and absent under
+            # disable_jit); the barrier pins these values together before the
+            # carry update.  Solution.max_violation is additionally recomputed
+            # from the final trajectory at exit.
+            xs_n, us_n, J_n, c_n = jax.lax.optimization_barrier(
+                (xs_n, us_n, J_n, c_n)
+            )
             # discard the step if the gradient test already converged
             keep = ~stop_grad
             xs_n = jnp.where(keep, xs_n, s.xs)
@@ -303,11 +312,18 @@ def make_solve_fn(
         def body(s: _OuterCarry):
             inner = ilqr(s.xs, s.us, s.ws, s.duals, s.penalty, s.reg)
             # break *before* the dual update when already feasible
-            # (reference: src/solve.jl:113-121)
-            stop = inner.viol <= options.constraint_tolerance
+            # (reference: src/solve.jl:113-121).  The violation and the dual
+            # ascent both use constraints evaluated FRESH at the inner
+            # solution (one cheap stack per AL round): the carried c inside
+            # the inner while-loop was observed to arrive one iteration stale
+            # under an XLA CPU miscompilation (see the barrier note in the
+            # inner body), and stop/dual decisions must never ride on it.
+            c_fresh = dv.constraint_values(spec, inner.xs, inner.us, s.ws)
+            viol_fresh = viol_of(c_fresh)
+            stop = viol_fresh <= options.constraint_tolerance
             if nc > 0:
                 new_duals, new_penalty = al_ops.dual_update(
-                    inner.c, s.duals, s.penalty, ineq,
+                    c_fresh, s.duals, s.penalty, ineq,
                     options.scaling_penalty, options.max_penalty,
                 )
                 duals = jnp.where(stop, s.duals, new_duals)
@@ -336,7 +352,7 @@ def make_solve_fn(
                 duals=duals, penalty=penalty, reg=inner.reg,
                 al_it=s.al_it + 1, stop=stop,
                 total_iters=s.total_iters + inner.it,
-                J=inner.J, grad_norm=inner.grad_norm, viol=inner.viol,
+                J=inner.J, grad_norm=inner.grad_norm, viol=viol_fresh,
                 status=inner.status, step_size=inner.step_size,
                 K=inner.K, k=inner.k,
                 trace_cost=s.trace_cost.at[s.al_it].set(inner.tr_cost) if options.record_traces else s.trace_cost,
@@ -347,10 +363,14 @@ def make_solve_fn(
             )
 
         s = jax.lax.while_loop(cond, body, carry)
+        # report the violation of the trajectory actually returned, evaluated
+        # fresh — the carried value tracks the loop's view and must never be
+        # the user-facing number
+        viol_final = viol_of(dv.constraint_values(spec, s.xs, s.us, s.ws))
         return Solution(
             xs=s.xs, us=s.us, K=s.K, k=s.k,
             objective=s.J, gradient_norm=s.grad_norm,
-            max_violation=s.viol, status=s.status,
+            max_violation=viol_final, status=s.status,
             iterations=s.total_iters, al_iterations=s.al_it,
             step_size=s.step_size, duals=s.duals, penalty=s.penalty,
             reg=s.reg,

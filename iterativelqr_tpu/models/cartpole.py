@@ -33,14 +33,25 @@ def cartpole_discrete(x, u, h=0.05):
     return x + h * cartpole_continuous(x + 0.5 * h * cartpole_continuous(x, u), u)
 
 
-def problem(T: int = 51, u_limit: float = 10.0):
+def problem(T: int = 101, u_limit: float = 10.0, shaping_weight: float = 5.0):
+    """Swing-up to the upright (any winding of theta = pi).
+
+    The terminal angle constraint is the wrapped form sin((theta - pi)/2) = 0
+    — zero exactly at odd multiples of pi, nonzero at the hanging state, with
+    a nondegenerate gradient there; a raw equality theta = pi traps the solver
+    on the wrong winding side.  The stage cost shapes toward upright via
+    1 + cos(theta).
+    """
     xT = jnp.array([0.0, jnp.pi, 0.0, 0.0])
 
     dyn = Dynamics(cartpole_discrete, NUM_STATE, NUM_ACTION)
     dynamics = [dyn] * (T - 1)
 
     stage = Cost(
-        lambda x, u: 0.1 * jnp.dot(x[2:], x[2:]) + 0.1 * jnp.dot(u, u),
+        lambda x, u: 0.01 * jnp.dot(u, u)
+        + 0.1 * jnp.dot(x[2:], x[2:])
+        + shaping_weight * (1.0 + jnp.cos(x[1]))
+        + 0.1 * x[0] ** 2,
         NUM_STATE,
         NUM_ACTION,
     )
@@ -50,8 +61,13 @@ def problem(T: int = 51, u_limit: float = 10.0):
     def stage_con(x, u):
         return jnp.array([-u_limit - u[0], u[0] - u_limit], x.dtype)
 
+    def terminal_con(x, u):
+        return jnp.array(
+            [x[0], jnp.sin((x[1] - jnp.pi) / 2.0), x[2], x[3]], x.dtype
+        )
+
     limits = Constraint(stage_con, NUM_STATE, NUM_ACTION, indices_inequality=[0, 1])
-    goal = Constraint(lambda x, u: x - xT.astype(x.dtype), NUM_STATE, 0)
+    goal = Constraint(terminal_con, NUM_STATE, 0)
     constraints = [limits] * (T - 1) + [goal]
 
     x1 = jnp.zeros(NUM_STATE)

@@ -98,13 +98,17 @@ def line_search(
     fused = duals is not None
 
     if fused:
-        def try_alpha(alpha):
-            return rollout_with_al_cost(
+        # score every candidate with a trajectory-free (carry-only) rollout —
+        # materializing [n_alpha, T, nx] candidate stacks dominated HBM
+        # traffic — then re-roll only the winner below
+        def score_alpha(alpha):
+            _, _, J = rollout_with_al_cost(
                 spec, xbar, ubar, ws, K, k, alpha, duals, penalty,
-                unroll=options.scan_unroll,
+                unroll=options.scan_unroll, cost_only=True,
             )
+            return J
 
-        xs_c, us_c, J_c = jax.vmap(try_alpha)(alphas)
+        J_c = jax.vmap(score_alpha)(alphas)
     else:
         def try_alpha(alpha):
             xs, us = closed_loop_rollout(
@@ -120,17 +124,26 @@ def line_search(
     status = jnp.any(accept)
     idx = jnp.argmax(accept)  # first (largest-alpha) accepted candidate
 
-    def pick(arr_c, fallback):
-        return jnp.where(status, arr_c[idx], fallback)
-
-    xs = pick(xs_c, xbar)
-    us = pick(us_c, ubar)
-    J = jnp.where(status, J_c[idx], J_prev)
     if fused:
-        # constraint values for the winner only (1x batch instead of 17x)
-        _, c_win = objective_fn(xs, us)
+        # re-roll ONLY the winning candidate, emitting its trajectory and
+        # constraint values (one rollout + one constraint stack, not n_alpha)
+        xs_w, us_w, J_w = rollout_with_al_cost(
+            spec, xbar, ubar, ws, K, k, alphas[idx], duals, penalty,
+            unroll=options.scan_unroll,
+        )
+        _, c_win = objective_fn(xs_w, us_w)
+        xs = jnp.where(status, xs_w, xbar)
+        us = jnp.where(status, us_w, ubar)
+        J = jnp.where(status, J_w, J_prev)
         c = jnp.where(status, c_win, c_prev)
     else:
+
+        def pick(arr_c, fallback):
+            return jnp.where(status, arr_c[idx], fallback)
+
+        xs = pick(xs_c, xbar)
+        us = pick(us_c, ubar)
+        J = jnp.where(status, J_c[idx], J_prev)
         c = pick(c_c, c_prev)  # nominal violations unchanged on failure
     # on failure the reference's loop exits having halved past min_step_size
     step_size = jnp.where(status, alphas[idx], alphas[-1] * 0.5)

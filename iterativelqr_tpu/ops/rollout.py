@@ -46,7 +46,8 @@ def closed_loop_rollout(spec: ProblemSpec, xbar, ubar, ws, K, k, alpha, unroll=1
 
 
 def rollout_with_al_cost(
-    spec: ProblemSpec, xbar, ubar, ws, K, k, alpha, duals, penalty, unroll=1
+    spec: ProblemSpec, xbar, ubar, ws, K, k, alpha, duals, penalty, unroll=1,
+    cost_only: bool = False,
 ):
     """Closed-loop rollout with the AL objective accumulated inside the scan.
 
@@ -55,6 +56,11 @@ def rollout_with_al_cost(
     objective pass (the dominant line-search cost at large batch).  Returns
     (xs [T,nx], us [T-1,nu], J scalar).  Constraint values of the winning
     candidate are re-evaluated once by the caller.
+
+    With ``cost_only`` the trajectory is NOT emitted (the scan carries only
+    (x, J)) and the returns are (None, None, J): candidate step sizes are
+    scored without writing [n_alpha, T, nx] stacks to HBM — the line search
+    re-rolls the single winning candidate afterwards (ops/forward.py).
     """
     from . import al as al_ops
 
@@ -95,7 +101,10 @@ def rollout_with_al_cost(
             if multi_d
             else dyn_branches[0](x, u, w)
         )
-        return (xn, J), (x, u)
+        # cost_only emits a scalar dummy instead of an empty pytree: a scan
+        # with no per-step outputs under unroll>1 tickled an XLA CPU
+        # miscompilation (stale carry values + heap corruption)
+        return (xn, J), (jnp.zeros((), dtype) if cost_only else (x, u))
 
     T = spec.T
     td = jnp.asarray(spec.dyn_tidx)
@@ -105,10 +114,15 @@ def rollout_with_al_cost(
         td, tg, tc, xbar[:-1], ubar, ws[:-1], K, k,
         duals[:-1], penalty[:-1], ineq[:-1],
     )
-    (x_last, J), (xs_head, us) = jax.lax.scan(
+    (x_last, J), ys = jax.lax.scan(
         step, (xbar[0], jnp.zeros((), dtype)), inputs, unroll=unroll
     )
-    xs = jnp.concatenate([xs_head, x_last[None]], axis=0)
+    if cost_only:
+        xs = us = None
+        del ys
+    else:
+        xs_head, us = ys
+        xs = jnp.concatenate([xs_head, x_last[None]], axis=0)
 
     # terminal stage: u = 0 (terminal stage functions have num_action == 0)
     u0 = jnp.zeros((spec.nu,), dtype)
