@@ -54,6 +54,11 @@ def make_mpc_controller(
     initial state to the measurement, re-solve.  With ``carry_duals`` the AL
     multipliers shift too and seed the next solve (penalties restart at the
     initial penalty so a stale-dual seed cannot lock in a huge penalty).
+
+    Options note: warm-started re-solves want *tighter* stopping tolerances
+    than cold solves — under the reference defaults (|dJ| < 1e-3) a shifted
+    plan can look converged after one iteration, leaving the applied action
+    one step stale; pass e.g. ``objective_tolerance=1e-8``.
     """
     solve = make_solve_fn(spec, options, dual_warm_start=True)
     nc = spec.nc
@@ -70,10 +75,15 @@ def make_mpc_controller(
     def step(state: MPCState, x_measured, ws) -> MPCStep:
         dtype = state.xs.dtype
         # shift: plan_{t} <- plan_{t+1}; fill the tail
-        xs = jnp.concatenate([state.xs[1:], state.xs[-1:]], axis=0)
-        xs = xs.at[0].set(x_measured.astype(dtype))
         tail = state.us[-1:] if shift_fill == "repeat" else jnp.zeros_like(state.us[-1:])
         us = jnp.concatenate([state.us[1:], tail], axis=0)
+        # re-roll the shifted controls from the measurement: splicing the
+        # measured state into the old plan leaves a dynamically inconsistent
+        # nominal whose (underestimated) objective makes the Armijo test
+        # reject every candidate — the solver would return the stale plan
+        from ..ops.rollout import open_loop_rollout
+
+        xs = open_loop_rollout(spec, x_measured.astype(dtype), us, ws)
         if carry_duals and nc > 0:
             duals = jnp.concatenate([state.duals[1:], state.duals[-1:]], axis=0)
         else:
