@@ -59,7 +59,13 @@ class Solver:
     # -- warm start (reference: src/solver.jl:56-66) --------------------------
 
     def initialize_states(self, states):
-        """Seed nominal states from a [T, n] array or a list of per-t vectors."""
+        """Seed nominal states from a [T, n] array or a list of per-t vectors.
+
+        The nominal should be *dynamically consistent* with the seeded
+        controls (produce it with ``rollout``, as the reference examples do,
+        README.md:64): an inconsistent nominal has a meaningless objective
+        value and can make the first Armijo test reject every step.
+        """
         for t, x in enumerate(states):
             x = jnp.asarray(x, self.dtype).reshape(-1)
             self._xs = self._xs.at[t, : x.shape[0]].set(x)
