@@ -107,6 +107,12 @@ class Solver:
         u_list = [us[t, : int(self.spec.u_dims[t])] for t in range(self.spec.T - 1)]
         return x_list, u_list
 
+    def current_trajectory(self):
+        """Parity alias (reference: src/solver.jl:52-54).  The functional core
+        promotes accepted candidates to nominal inside the jitted solve, so
+        post-solve the "current" and nominal trajectories coincide."""
+        return self.get_trajectory()
+
     @property
     def parameters(self):
         return self._ws

@@ -274,13 +274,325 @@ def backward_pass_batched_pallas(
     return K, k, Qx, Qu, p, ok
 
 
+# ---------------------------------------------------------------------------
+# v2: batch-in-sublanes layout + packed per-timestep HBM streaming
+# ---------------------------------------------------------------------------
+#
+# v1 keeps whole stacked inputs in VMEM with batch only on lanes, so tiles are
+# (2,128) at block_b=256 — 25% sublane utilization — and VMEM caps the block
+# size.  v2 lays each scalar slot out as a full (SUB, 128) tile (SUB = 4 at
+# block_b=512), keeps only the OUTPUTS in VMEM, and streams one packed
+# [46, SUB, 128] slice per timestep from HBM with double-buffered DMA (guide
+# pattern): ~190KB VMEM of input scratch regardless of T.
+
+
+def _mm_tb2(a, b):
+    """(i,k,S,L),(k,j,S,L) -> (i,j,S,L)"""
+    return jnp.sum(a[:, :, None, :, :] * b[None, :, :, :, :], axis=1)
+
+
+def _mv_tb2(a, v):
+    """(i,k,S,L),(k,S,L) -> (i,S,L)"""
+    return jnp.sum(a * v[None, :, :, :], axis=1)
+
+
+def _t_tb2(a):
+    return jnp.swapaxes(a, 0, 1)
+
+
+def _cholesky_tb2(A, m):
+    L = [[None] * m for _ in range(m)]
+    for i in range(m):
+        for j in range(i + 1):
+            s = A[i, j]
+            for kk in range(j):
+                s = s - L[i][kk] * L[j][kk]
+            L[i][j] = jnp.sqrt(s) if i == j else s / L[j][j]
+    return L
+
+
+def _cho_solve_tb2(L, cols, m):
+    outs = []
+    for col in cols:
+        y = [None] * m
+        for i in range(m):
+            s = col[i]
+            for kk in range(i):
+                s = s - L[i][kk] * y[kk]
+            y[i] = s / L[i][i]
+        x = [None] * m
+        for i in range(m - 1, -1, -1):
+            s = y[i]
+            for kk in range(i + 1, m):
+                s = s - L[kk][i] * x[kk]
+            x[i] = s / L[i][i]
+        outs.append(jnp.stack(x, axis=0))
+    return outs
+
+
+def _kernel_v2(n, m, Tm1, sub,
+               packed_hbm, gxxT_ref, gxT_ref, um_ref, reg_ref,
+               K_ref, k_ref, Qx_ref, Qu_ref, p_ref, ok_ref,
+               scratch, sems):
+    i = pl.program_id(0)
+    row0 = pl.multiple_of(i * sub, sub)
+    F = n * n + n * m + n + m + n * n + m * m + m * n
+
+    def dma(slot, t):
+        return pltpu.make_async_copy(
+            packed_hbm.at[t, :, pl.ds(row0, sub), :],
+            scratch.at[slot],
+            sems.at[slot],
+        )
+
+    dma(0, Tm1 - 1).start()
+
+    reg = reg_ref[0]          # (S, L)
+    P0 = gxxT_ref[:]          # (n, n, S, L)
+    p0 = gxT_ref[:]           # (n, S, L)
+    ok0 = jnp.ones_like(reg)
+
+    o_fx = 0
+    o_fu = o_fx + n * n
+    o_gx = o_fu + n * m
+    o_gu = o_gx + n
+    o_gxx = o_gu + m
+    o_guu = o_gxx + n * n
+    o_gux = o_guu + m * m
+
+    def body(j, carry):
+        P, p, ok = carry
+        t = Tm1 - 1 - j
+        slot = j % 2
+
+        @pl.when(j + 1 < Tm1)
+        def _():
+            dma(1 - slot, t - 1).start()
+
+        dma(slot, t).wait()
+        buf = scratch[slot]                                   # (F, S, L)
+        S, Lw = buf.shape[-2], buf.shape[-1]
+        fx_t = buf[o_fx:o_fu].reshape(n, n, S, Lw)
+        fu_t = buf[o_fu:o_gx].reshape(n, m, S, Lw)
+        gx_t = buf[o_gx:o_gu]
+        gu_t = buf[o_gu:o_gxx]
+        gxx_t = buf[o_gxx:o_guu].reshape(n, n, S, Lw)
+        guu_t = buf[o_guu:o_gux].reshape(m, m, S, Lw)
+        gux_t = buf[o_gux:F].reshape(m, n, S, Lw)
+
+        fxT = _t_tb2(fx_t)
+        fuT = _t_tb2(fu_t)
+        Qx = gx_t + _mv_tb2(fxT, p)
+        Qu = gu_t + _mv_tb2(fuT, p)
+        fxTP = _mm_tb2(fxT, P)
+        fuTP = _mm_tb2(fuT, P)
+        Qxx = gxx_t + _mm_tb2(fxTP, fx_t)
+        Quu = guu_t + _mm_tb2(fuTP, fu_t)
+        Qux = gux_t + _mm_tb2(fuTP, fx_t)
+
+        # padded action masking: um rows are static per t but read dynamically
+        Quu_m = [[None] * m for _ in range(m)]
+        for a in range(m):
+            for b in range(m):
+                um_ab = um_ref[t, a] * um_ref[t, b]
+                diag = (1.0 - um_ref[t, a]) if a == b else 0.0
+                r = (reg * um_ref[t, a]) if a == b else 0.0
+                Quu_m[a][b] = Quu[a, b] * um_ab + diag + r
+        Quu_reg = jnp.stack(
+            [jnp.stack(row, axis=0) for row in Quu_m], axis=0
+        )
+
+        L = _cholesky_tb2(Quu_reg, m)
+        ok_t = ok
+        for a in range(m):
+            d = L[a][a]
+            ok_t = ok_t * (jnp.isfinite(d) & (d > 0.0)).astype(ok_t.dtype)
+
+        cols = [Qux[:, jj] for jj in range(n)] + [Qu]
+        sols = _cho_solve_tb2(L, cols, m)
+        K = jnp.stack(
+            [
+                jnp.stack(
+                    [-sols[jj][a] * um_ref[t, a] for jj in range(n)], axis=0
+                )
+                for a in range(m)
+            ],
+            axis=0,
+        )                                                      # (m, n, S, L)
+        kff = jnp.stack([-sols[n][a] * um_ref[t, a] for a in range(m)], axis=0)
+
+        KT = _t_tb2(K)
+        QuxT = _t_tb2(Qux)
+        Quu_eff = Quu_reg - jnp.stack(
+            [
+                jnp.stack(
+                    [
+                        (reg * um_ref[t, a]) if a == b else jnp.zeros_like(reg)
+                        for b in range(m)
+                    ],
+                    axis=0,
+                )
+                for a in range(m)
+            ],
+            axis=0,
+        )
+        QuuK = _mm_tb2(Quu_eff, K)
+        P_new = Qxx + _mm_tb2(KT, QuuK) + _mm_tb2(KT, Qux) + _mm_tb2(QuxT, K)
+        P_new = 0.5 * (P_new + _t_tb2(P_new))
+        p_new = Qx + _mv_tb2(_t_tb2(QuuK), kff) + _mv_tb2(KT, Qu) + _mv_tb2(QuxT, kff)
+
+        K_ref[t] = K
+        k_ref[t] = kff
+        Qx_ref[t] = Qx
+        Qu_ref[t] = Qu
+        p_ref[t] = p_new
+        return (P_new, p_new, ok_t)
+
+    _, _, ok = jax.lax.fori_loop(0, Tm1, body, (P0, p0, ok0))
+    ok_ref[0] = ok
+
+
+def backward_pass_batched_pallas_v2(
+    fx, fu, gx, gu, gxx, guu, gux, u_mask, reg,
+    block_b: int = 1024, interpret: bool = False,
+):
+    """v2 kernel entry; same contract as backward_pass_batched_pallas.
+
+    ``block_b`` must be a multiple of 1024 on hardware (the batch block is
+    laid out as (block_b/128, 128) tiles and Mosaic requires the sublane dim
+    divisible by 8); interpreter-mode tests may use smaller blocks.
+    """
+    B, Tm1, n, _ = fx.shape
+    m = fu.shape[-1]
+    dtype = fx.dtype
+    sub = block_b // 128
+    assert block_b % 128 == 0
+    Bp = _round_up(B, block_b)
+    S_all = Bp // 128
+    F = n * n + n * m + n + m + n * n + m * m + m * n
+
+    def lay(a, d):
+        """[B, Tm1, *dims] -> [Tm1, prod(dims), S_all, 128]"""
+        a = jnp.moveaxis(a, 0, -1)                       # [Tm1, *dims, B]
+        if Bp != B:
+            pad = [(0, 0)] * (a.ndim - 1) + [(0, Bp - B)]
+            a = jnp.pad(a, pad)
+        return a.reshape(a.shape[0], d, S_all, 128)
+
+    packed = jnp.concatenate(
+        [
+            lay(fx, n * n),
+            lay(fu, n * m),
+            lay(gx[:, :-1], n),
+            lay(gu, m),
+            lay(gxx[:, :-1], n * n),
+            lay(guu, m * m),
+            lay(gux, m * n),
+        ],
+        axis=1,
+    )                                                     # [Tm1, F, S_all, 128]
+
+    def lay_term(a, *dims):
+        a = jnp.moveaxis(a, 0, -1)                        # [*dims, B]
+        if Bp != B:
+            a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, Bp - B)])
+        return a.reshape(*dims, S_all, 128)
+
+    gxxT = lay_term(gxx[:, -1], n, n)
+    gxT = lay_term(gx[:, -1], n)
+    um = u_mask.astype(dtype)                             # [Tm1, m]
+    reg_l = jnp.pad(reg.astype(dtype), (0, Bp - B), constant_values=1.0) \
+        if Bp != B else reg.astype(dtype)
+    reg_l = reg_l.reshape(1, S_all, 128)
+    # padded batch entries keep guu = 0 rows; give them unit diagonal via the
+    # packed buffer so the factorization stays PD
+    if Bp != B:
+        eye_flat = jnp.eye(m, dtype=dtype).reshape(m * m)
+        pad_mask = (jnp.arange(Bp) >= B).astype(dtype).reshape(S_all, 128)
+        o_guu = n * n + n * m + n + m + n * n
+        packed = packed.at[:, o_guu : o_guu + m * m].add(
+            eye_flat[None, :, None, None] * pad_mask[None, None]
+        )
+
+    grid = (Bp // block_b,)
+
+    def vspec(*dims):
+        nd = len(dims)
+        return pl.BlockSpec(
+            dims + (sub, 128),
+            (lambda i, _nd=nd: (0,) * _nd + (i, 0)),
+            memory_space=pltpu.VMEM,
+        )
+
+    out_shape = (
+        jax.ShapeDtypeStruct((Tm1, m, n, S_all, 128), dtype),  # K
+        jax.ShapeDtypeStruct((Tm1, m, S_all, 128), dtype),     # k
+        jax.ShapeDtypeStruct((Tm1, n, S_all, 128), dtype),     # Qx
+        jax.ShapeDtypeStruct((Tm1, m, S_all, 128), dtype),     # Qu
+        jax.ShapeDtypeStruct((Tm1, n, S_all, 128), dtype),     # p
+        jax.ShapeDtypeStruct((1, S_all, 128), dtype),          # ok
+    )
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.ANY),                  # packed (HBM)
+        vspec(n, n),                                           # terminal gxx
+        vspec(n),                                              # terminal gx
+        pl.BlockSpec((Tm1, m), (lambda i: (0, 0)), memory_space=pltpu.VMEM),
+        vspec(1),                                              # reg
+    ]
+    out_specs = (
+        vspec(Tm1, m, n), vspec(Tm1, m), vspec(Tm1, n), vspec(Tm1, m),
+        vspec(Tm1, n), vspec(1),
+    )
+
+    kernel = functools.partial(_kernel_v2, n, m, Tm1, sub)
+    K_t, k_t, Qx_t, Qu_t, p_t, ok_t = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((2, F, sub, 128), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(packed, gxxT, gxT, um, reg_l)
+
+    def unlay(a, *dims):
+        a = a.reshape(a.shape[0], *dims, Bp)
+        a = jnp.moveaxis(a, -1, 0)[:B]
+        return a
+
+    K = unlay(K_t, m, n)
+    k = unlay(k_t, m)
+    Qx = unlay(Qx_t, n)
+    Qu = unlay(Qu_t, m)
+    p = unlay(p_t, n)
+    ok = jnp.moveaxis(ok_t.reshape(1, Bp), -1, 0)[:B, 0] > 0.5
+    return K, k, Qx, Qu, p, ok
+
+
 def make_backward_dispatch(unroll: int = 1, block_b: int = DEFAULT_BLOCK_B,
-                           interpret: bool = False):
+                           interpret: bool = False, variant: str = "v1"):
     """A backward_pass_scan drop-in whose vmap rule runs the Pallas kernel.
 
     Unbatched calls (single-instance solves) use the XLA reverse scan; under
     ``jax.vmap`` (the batched solve) the whole batch enters one kernel.
+    ``variant``: "v1" (whole stacks in VMEM, batch on lanes — the end-to-end
+    default) or "v2" (batch-in-sublanes tiles + packed per-timestep HBM
+    streaming).  v2 is ~8% faster than the XLA scan *in isolation* (2.31ms vs
+    2.50ms at B=4096, T=101) but its host-side packing transposes force
+    relayouts of every derivative stack inside the full solve and lose more
+    than the kernel gains (measured 4603 vs 7760 solves/s/chip end-to-end);
+    making derive emit the packed layout natively is the path to enabling it.
     """
+    if variant == "v2":
+        kern = backward_pass_batched_pallas_v2
+        # Mosaic needs the sublane block dim divisible by 8 -> block >= 1024
+        blk = 1024 if block_b == DEFAULT_BLOCK_B else block_b
+    else:
+        kern = backward_pass_batched_pallas
+        blk = block_b
 
     @jax.custom_batching.custom_vmap
     def dispatch(fx, fu, gx, gu, gxx, guu, gux, u_mask, reg):
@@ -298,9 +610,9 @@ def make_backward_dispatch(unroll: int = 1, block_b: int = DEFAULT_BLOCK_B,
             )
         um = u_mask[0] if um_b else u_mask
         reg_v = reg if reg_b else jnp.broadcast_to(reg, (axis_size,))
-        out = backward_pass_batched_pallas(
+        out = kern(
             fx, fu, gx, gu, gxx, guu, gux, um, reg_v,
-            block_b=block_b, interpret=interpret,
+            block_b=blk, interpret=interpret,
         )
         return out, tuple(True for _ in out)
 

@@ -13,6 +13,7 @@ import pytest
 from iterativelqr_tpu.ops.backward import backward_pass_scan
 from iterativelqr_tpu.ops.pallas_backward import (
     backward_pass_batched_pallas,
+    backward_pass_batched_pallas_v2,
     make_backward_dispatch,
 )
 
@@ -81,12 +82,33 @@ def test_pallas_kernel_padded_batch_and_masked_actions():
     assert np.all(np.asarray(out[0])[:, :, -1, :] == 0.0)  # masked gain rows
 
 
+@pytest.mark.parametrize("nx,nu,B", [(4, 1, 256), (3, 2, 300)])
+def test_pallas_v2_matches_scan(nx, nu, B):
+    """v2 (batch-in-sublanes + packed HBM streaming) vs the scan path,
+    including a non-divisible batch."""
+    T = 11
+    args = _random_batch(jax.random.PRNGKey(3), B, T, nx, nu)
+    u_mask = jnp.ones((T - 1, nu), bool)
+    reg = jnp.zeros((B,), jnp.float32)
+    ref = jax.vmap(
+        lambda *a: backward_pass_scan(*a, u_mask, jnp.zeros((), jnp.float32))
+    )(*args)
+    out = backward_pass_batched_pallas_v2(
+        *args, u_mask, reg, block_b=128, interpret=True
+    )
+    for a, b in zip(ref[:5], out[:5]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4
+        )
+    assert bool(jnp.all(out[5]))
+
+
 def test_dispatch_vmap_rule():
     """custom_vmap: vmapped dispatch == vmapped scan (interpret mode)."""
     T, nx, nu, B = 7, 3, 1, 4
     args = _random_batch(jax.random.PRNGKey(2), B, T, nx, nu)
     u_mask = jnp.ones((T - 1, nu), bool)
-    dispatch = make_backward_dispatch(interpret=True, block_b=4)
+    dispatch = make_backward_dispatch(interpret=True, block_b=128)
 
     out = jax.vmap(
         lambda *a: dispatch(*a, u_mask, jnp.zeros((), jnp.float32))
