@@ -155,7 +155,14 @@ def make_solve_fn(
         return J, c
 
     def derive(xs, us, ws, duals, penalty, c, reg):
-        """Derivative stacks + AL augmentation + backward pass."""
+        """Derivative stacks + AL augmentation + backward pass.
+
+        Kept as separate vmapped stacks: the fused single-pass variant
+        (dv.stage_derivatives) is faster in isolation (2.26 vs 2.81ms at
+        B=4096) but regresses the full solve ~30% (measured 5484 vs 7804
+        solves/s/chip) — same layout-interaction lesson as the v2 pallas
+        kernel (ops/pallas_backward.py docstring).
+        """
         fx, fu = dv.dynamics_jacobians(spec, xs, us, ws)
         gx, gu = dv.cost_gradients(spec, xs, us, ws)
         gxx, guu, gux = dv.cost_hessians(spec, xs, us, ws)

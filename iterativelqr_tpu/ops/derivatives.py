@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.spec import ProblemSpec
 
@@ -86,6 +87,69 @@ def dynamics_jacobians(spec: ProblemSpec, xs, us, ws):
     return _grouped(
         spec.dyn_jac, spec.dyn_groups, spec.T - 1, (xs[:-1], us, ws[:-1])
     )
+
+
+def stage_derivatives(spec: ProblemSpec, xs, us, ws):
+    """All cost/dynamics derivative stacks in ONE fused pass.
+
+    Computing dynamics Jacobians, cost gradients, and cost Hessians as
+    separate vmapped passes issues 3+ kernels that each re-read the
+    trajectory from HBM; evaluating one combined per-timestep function lets
+    XLA fuse them (measured at B=4096, T=101 on TPU v5e: 2.81 -> 2.26ms,
+    bitwise-identical results).  Stage types are grouped by the combined
+    (dynamics, cost) type key; the terminal cost is evaluated separately.
+
+    NOTE: not used by the solver — despite the isolated win it regresses the
+    full solve ~30% (layout interactions with the surrounding program; see
+    core/solve.py::derive).  Kept as the starting point for a layout-aware
+    derive + packed pallas backward (v2) pipeline.
+
+    Returns (fx [T-1], fu [T-1], gx [T], gu [T-1], gxx [T], guu [T-1],
+    gux [T-1]).
+    """
+    Tm1 = spec.T - 1
+    dtype = xs.dtype
+    comb = spec.dyn_tidx * len(spec.cost_eval) + spec.cost_tidx[:Tm1]
+    uniq = np.unique(comb)
+
+    def make_per_t(di, gi):
+        dj = spec.dyn_jac[di]
+        cg = spec.cost_grad[gi]
+        ch = spec.cost_hess[gi]
+
+        def per_t(x, u, w):
+            fx, fu = dj(x, u, w)
+            gx, gu = cg(x, u, w)
+            gxx, guu, gux = ch(x, u, w)
+            return fx, fu, gx, gu, gxx, guu, gux
+
+        return per_t
+
+    if len(uniq) == 1:
+        di, gi = divmod(int(uniq[0]), len(spec.cost_eval))
+        outs = jax.vmap(make_per_t(di, gi))(xs[:-1], us, ws[:-1])
+        fx, fu, gx_s, gu, gxx_s, guu, gux = outs
+    else:
+        outs = None
+        for key in uniq:
+            di, gi = divmod(int(key), len(spec.cost_eval))
+            idx = np.nonzero(comb == key)[0]
+            res = jax.vmap(make_per_t(di, gi))(xs[idx], us[idx], ws[idx])
+            if outs is None:
+                outs = jax.tree.map(
+                    lambda r: jnp.zeros((Tm1,) + r.shape[1:], r.dtype), res
+                )
+            outs = jax.tree.map(lambda o, r, i=idx: o.at[i].set(r), outs, res)
+        fx, fu, gx_s, gu, gxx_s, guu, gux = outs
+
+    # terminal stage: u = 0 (terminal cost has num_action == 0)
+    gT = spec.cost_tidx[-1]
+    u0 = jnp.zeros((spec.nu,), dtype)
+    gxT, _ = spec.cost_grad[gT](xs[-1], u0, ws[-1])
+    gxxT, _, _ = spec.cost_hess[gT](xs[-1], u0, ws[-1])
+    gx = jnp.concatenate([gx_s, gxT[None]], axis=0)
+    gxx = jnp.concatenate([gxx_s, gxxT[None]], axis=0)
+    return fx, fu, gx, gu, gxx, guu, gux
 
 
 def constraint_values(spec: ProblemSpec, xs, us, ws):

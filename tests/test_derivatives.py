@@ -6,6 +6,7 @@ checked against finite differences and, where available, hand-derived closed
 forms.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -131,4 +132,39 @@ def test_manual_derivatives_match_autodiff():
         )
         np.testing.assert_allclose(
             np.asarray(fu), np.broadcast_to([[0.0], [0.1]], (3, 2, 1))
+        )
+
+
+def test_stage_derivatives_matches_separate_stacks():
+    """The fused single-pass derive must equal the separate stacks, including
+    on problems with multiple (dynamics, cost) stage types along the horizon."""
+    import numpy as np
+    from iterativelqr_tpu.ops import derivatives as dv
+
+    T = 9
+    A = jnp.array([[1.0, 0.3], [0.0, 1.0]])
+    d1 = ilqr.Dynamics(lambda x, u: A @ x + jnp.array([0.0, 0.3]) * u[0], 2, 1)
+    d2 = ilqr.Dynamics(lambda x, u: A @ x + jnp.array([0.1, 0.5]) * jnp.tanh(u[0]), 2, 1)
+    g1 = ilqr.Cost(lambda x, u: 0.1 * (x @ x + u @ u), 2, 1)
+    g2 = ilqr.Cost(lambda x, u: 0.3 * jnp.sum(jnp.cosh(x)) + 0.2 * u @ u, 2, 1)
+    gT = ilqr.Cost(lambda x, u: 0.5 * (x @ x), 2, 0)
+    dynamics = [d1 if t % 2 == 0 else d2 for t in range(T - 1)]
+    costs = [g1 if t % 3 == 0 else g2 for t in range(T - 1)] + [gT]
+    spec = ilqr.build_spec(dynamics, costs)
+
+    key = jax.random.PRNGKey(0)
+    xs = jax.random.normal(key, (T, 2))
+    us = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (T - 1, 1))
+    ws = jnp.zeros((T, 0))
+
+    fused = dv.stage_derivatives(spec, xs, us, ws)
+    fx, fu = dv.dynamics_jacobians(spec, xs, us, ws)
+    gx, gu = dv.cost_gradients(spec, xs, us, ws)
+    gxx, guu, gux = dv.cost_hessians(spec, xs, us, ws)
+    for name, a, b in zip(
+        ["fx", "fu", "gx", "gu", "gxx", "guu", "gux"],
+        fused, (fx, fu, gx, gu, gxx, guu, gux),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-12, atol=1e-12, err_msg=name
         )
