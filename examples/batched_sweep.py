@@ -42,9 +42,12 @@ def main():
 
     dtype = jnp.float32
     x0 = 0.05 * jax.random.normal(jax.random.PRNGKey(0), (B, spec.nx), dtype)
-    xs = jnp.zeros((B, T, spec.nx), dtype).at[:, 0, :].set(x0)
     us = 0.05 * jnp.ones((B, T - 1, spec.nu), dtype)
     ws = jnp.zeros((B, T, max(spec.npar, 0)), dtype)
+    from iterativelqr_tpu.ops.rollout import open_loop_rollout
+
+    ws_one = jnp.zeros((T, max(spec.npar, 0)), dtype)
+    xs = jax.vmap(lambda a, b: open_loop_rollout(spec, a, b, ws_one))(x0, us)
     xs, us, ws = shard_batch(mesh, "batch", xs, us, ws)
 
     t0 = time.perf_counter()

@@ -39,9 +39,14 @@ def sweep(name, spec, x0_sampler, us0, T, total, mesh, opts):
     key = jax.random.fold_in(jax.random.PRNGKey(7), jax.process_index())
     dtype = jnp.float32
     x0 = x0_sampler(key, local).astype(dtype)
-    xs = jnp.zeros((local, T, spec.nx), dtype)
-    xs = xs.at[:, 0, :].set(x0)
     us = jnp.broadcast_to(us0.astype(dtype), (local, T - 1, spec.nu))
+    ws_one = jnp.zeros((T, max(spec.npar, 0)), dtype)
+    # dynamically consistent warm start (open-loop rollout), as the reference
+    # examples initialize — splicing x0 into a zero trajectory underestimates
+    # the initial objective and can wedge the first line search
+    from iterativelqr_tpu.ops.rollout import open_loop_rollout
+
+    xs = jax.vmap(lambda x0_, us_: open_loop_rollout(spec, x0_, us_, ws_one))(x0, us)
     ws = jnp.zeros((local, T, max(spec.npar, 0)), dtype)
     xs, us, ws = global_batch_from_local(mesh, "batch", xs, us, ws)
 
