@@ -102,7 +102,7 @@ def line_search(
         # materializing [n_alpha, T, nx] candidate stacks dominated HBM
         # traffic — then re-roll only the winner below
         def score_alpha(alpha):
-            _, _, J = rollout_with_al_cost(
+            _, _, J, _ = rollout_with_al_cost(
                 spec, xbar, ubar, ws, K, k, alpha, duals, penalty,
                 unroll=options.scan_unroll, cost_only=True,
             )
@@ -125,13 +125,12 @@ def line_search(
     idx = jnp.argmax(accept)  # first (largest-alpha) accepted candidate
 
     if fused:
-        # re-roll ONLY the winning candidate, emitting its trajectory and
-        # constraint values (one rollout + one constraint stack, not n_alpha)
-        xs_w, us_w, J_w = rollout_with_al_cost(
+        # re-roll ONLY the winning candidate; its trajectory AND constraint
+        # values come out of the same scan (no separate constraint pass)
+        xs_w, us_w, J_w, c_win = rollout_with_al_cost(
             spec, xbar, ubar, ws, K, k, alphas[idx], duals, penalty,
             unroll=options.scan_unroll,
         )
-        _, c_win = objective_fn(xs_w, us_w)
         xs = jnp.where(status, xs_w, xbar)
         us = jnp.where(status, us_w, ubar)
         J = jnp.where(status, J_w, J_prev)

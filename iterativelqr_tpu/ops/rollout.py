@@ -58,9 +58,11 @@ def rollout_with_al_cost(
     candidate are re-evaluated once by the caller.
 
     With ``cost_only`` the trajectory is NOT emitted (the scan carries only
-    (x, J)) and the returns are (None, None, J): candidate step sizes are
-    scored without writing [n_alpha, T, nx] stacks to HBM — the line search
-    re-rolls the single winning candidate afterwards (ops/forward.py).
+    (x, J)) and the returns are (None, None, J, None): candidate step sizes
+    are scored without writing [n_alpha, T, nx] stacks to HBM — the line
+    search re-rolls the single winning candidate afterwards (ops/forward.py).
+    Otherwise returns (xs, us, J, c [T, nc]) with the constraint values
+    emitted from the same in-scan evaluations that built the AL objective.
     """
     from . import al as al_ops
 
@@ -89,6 +91,7 @@ def rollout_with_al_cost(
             else cost_branches[0](x, u, w)
         )
         J = J + g
+        c_t = None
         if nc > 0:
             c_t = (
                 jax.lax.switch(tc, con_branches, x, u, w)
@@ -104,7 +107,13 @@ def rollout_with_al_cost(
         # cost_only emits a scalar dummy instead of an empty pytree: a scan
         # with no per-step outputs under unroll>1 tickled an XLA CPU
         # miscompilation (stale carry values + heap corruption)
-        return (xn, J), (jnp.zeros((), dtype) if cost_only else (x, u))
+        if cost_only:
+            ys = jnp.zeros((), dtype)
+        elif nc > 0:
+            ys = (x, u, c_t)
+        else:
+            ys = (x, u)
+        return (xn, J), ys
 
     T = spec.T
     td = jnp.asarray(spec.dyn_tidx)
@@ -117,9 +126,13 @@ def rollout_with_al_cost(
     (x_last, J), ys = jax.lax.scan(
         step, (xbar[0], jnp.zeros((), dtype)), inputs, unroll=unroll
     )
+    c_head = None
     if cost_only:
         xs = us = None
         del ys
+    elif nc > 0:
+        xs_head, us, c_head = ys
+        xs = jnp.concatenate([xs_head, x_last[None]], axis=0)
     else:
         xs_head, us = ys
         xs = jnp.concatenate([xs_head, x_last[None]], axis=0)
@@ -128,10 +141,15 @@ def rollout_with_al_cost(
     u0 = jnp.zeros((spec.nu,), dtype)
     gT = spec.cost_eval[spec.cost_tidx[-1]](x_last, u0, ws[-1])
     J = J + gT
+    c = None
     if nc > 0:
         cT = spec.con_eval[spec.con_tidx[-1]](x_last, u0, ws[-1])
         J = J + al_term(cT, duals[-1], penalty[-1], ineq[-1])
-    return xs, us, J
+        if not cost_only:
+            c = jnp.concatenate([c_head, cT[None]], axis=0)
+    elif not cost_only:
+        c = jnp.zeros((T, 0), dtype)
+    return xs, us, J, c
 
 
 def open_loop_rollout(spec: ProblemSpec, x1, us, ws):
