@@ -55,12 +55,14 @@ class Options:
     # "associative": jax.lax.associative_scan parallel-prefix Riccati (O(log T) depth)
     # "pallas": fused whole-recursion TPU kernel for batched solves
     #           (ops/pallas_backward.py); single-instance calls fall back to scan
+    # "auto":   associative for single-instance (latency-bound) solves,
+    #           scan under vmap (throughput-bound batches) — measured regimes
     backward_pass: str = "scan"
 
     def __post_init__(self):
         if self.line_search not in ("armijo", "none"):
             raise ValueError(f"unknown line_search {self.line_search!r}")
-        if self.backward_pass not in ("scan", "associative", "pallas"):
+        if self.backward_pass not in ("scan", "associative", "pallas", "auto"):
             raise ValueError(f"unknown backward_pass {self.backward_pass!r}")
 
     @property

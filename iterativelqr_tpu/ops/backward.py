@@ -108,6 +108,35 @@ def backward_pass_scan(fx, fu, gx, gu, gxx, guu, gux, u_mask, reg, unroll=1):
     return K, k, Qx, Qu, p, ok
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _make_auto_dispatch(unroll: int):
+    """custom_vmap dispatcher: associative scan unbatched, reverse scan under
+    vmap (the batched solve)."""
+    from .assoc import backward_pass_associative
+
+    @jax.custom_batching.custom_vmap
+    def dispatch(fx, fu, gx, gu, gxx, guu, gux, u_mask, reg):
+        return backward_pass_associative(
+            fx, fu, gx, gu, gxx, guu, gux, u_mask, reg
+        )
+
+    @dispatch.def_vmap
+    def _rule(axis_size, in_batched, fx, fu, gx, gu, gxx, guu, gux, u_mask, reg):
+        um_b = in_batched[7]
+        reg_b = in_batched[8]
+        um = u_mask[0] if um_b else u_mask
+        reg_v = reg if reg_b else jnp.broadcast_to(reg, (axis_size,))
+        out = jax.vmap(
+            lambda *a: backward_pass_scan(*a[:7], um, a[7], unroll=unroll)
+        )(fx, fu, gx, gu, gxx, guu, gux, reg_v)
+        return out, tuple(True for _ in out)
+
+    return dispatch
+
+
 def backward_pass(fx, fu, gx, gu, gxx, guu, gux, u_mask, reg_carry, options: Options):
     """Backward pass with adaptive Quu regularization.
 
@@ -122,6 +151,13 @@ def backward_pass(fx, fu, gx, gu, gxx, guu, gux, u_mask, reg_carry, options: Opt
         from .pallas_backward import make_backward_dispatch
 
         dispatch = make_backward_dispatch(unroll=options.scan_unroll)
+        bp = lambda *a, unroll=None: dispatch(*a)
+    elif options.backward_pass == "auto":
+        # regime selection by batchedness (measured, docs/design.md section 3):
+        # single-instance solves are latency-bound on the T-step recursion ->
+        # O(log T) associative scan; under vmap the batch saturates the chip
+        # and the sequential scan's cheaper composition wins
+        dispatch = _make_auto_dispatch(options.scan_unroll)
         bp = lambda *a, unroll=None: dispatch(*a)
     else:
         bp = backward_pass_scan

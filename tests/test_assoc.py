@@ -87,3 +87,41 @@ def test_assoc_full_solve_acrobot():
     solver.initialize_controls(us)
     sol = solver.solve()
     assert float(sol.max_violation) <= 5.0e-3
+
+
+def test_backward_auto_dispatch():
+    """backward_pass='auto': associative unbatched, scan under vmap."""
+    from iterativelqr_tpu.ops.backward import backward_pass, backward_pass_scan
+    from iterativelqr_tpu.ops.assoc import backward_pass_associative
+
+    T, nx, nu, B = 9, 4, 2, 6
+    fx, fu, gx, gu, gxx, guu, gux = _random_lq(jax.random.PRNGKey(4), T, nx, nu)
+    u_mask = jnp.ones((T - 1, nu), bool)
+    opts = Options(verbose=False, backward_pass="auto")
+    reg0 = jnp.zeros(())
+
+    # unbatched -> associative
+    out_auto = backward_pass(fx, fu, gx, gu, gxx, guu, gux, u_mask, reg0, opts)
+    out_assoc = backward_pass_associative(
+        fx, fu, gx, gu, gxx, guu, gux, u_mask, reg0
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_auto[0]), np.asarray(out_assoc[0]), rtol=1e-10, atol=1e-12
+    )
+
+    # batched -> scan
+    batch = lambda a: jnp.broadcast_to(a, (B,) + a.shape) * jnp.linspace(
+        0.9, 1.1, B
+    ).reshape((B,) + (1,) * a.ndim)
+    bfx, bfu, bgx, bgu, bgxx, bguu, bgux = map(
+        batch, (fx, fu, gx, gu, gxx, guu, gux)
+    )
+    out_b = jax.vmap(
+        lambda *a: backward_pass(*a, u_mask, reg0, opts)
+    )(bfx, bfu, bgx, bgu, bgxx, bguu, bgux)
+    ref_b = jax.vmap(
+        lambda *a: backward_pass_scan(*a, u_mask, reg0)
+    )(bfx, bfu, bgx, bgu, bgxx, bguu, bgux)
+    np.testing.assert_allclose(
+        np.asarray(out_b[0]), np.asarray(ref_b[0]), rtol=1e-9, atol=1e-10
+    )
