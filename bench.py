@@ -151,9 +151,23 @@ def main():
         import hashlib
         import glob
 
+        # hash only the files that determine the benched program, so adding an
+        # unrelated model or utility does not invalidate the artifact
         pkg = os.path.join(os.path.dirname(__file__), "iterativelqr_tpu")
         h = hashlib.sha256()
-        for f in sorted(glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True)):
+        roots = [
+            os.path.join(pkg, "core"),
+            os.path.join(pkg, "ops"),
+            os.path.join(pkg, "parallel"),
+            os.path.join(pkg, "models", "acrobot.py"),
+        ]
+        files = []
+        for r in roots:
+            if r.endswith(".py"):
+                files.append(r)
+            else:
+                files.extend(glob.glob(os.path.join(r, "**", "*.py"), recursive=True))
+        for f in sorted(files):
             with open(f, "rb") as fh:
                 h.update(fh.read())
         code_tag = h.hexdigest()[:10]

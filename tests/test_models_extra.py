@@ -109,3 +109,25 @@ def test_al_callback_continuation():
     sol = solve(xs0, us0, ws)
     assert float(sol.max_violation) <= 1e-4
     assert int(sol.al_iterations) >= 2  # the hook actually ran
+
+
+def test_quadrotor_waypoint_with_thrust_limits():
+    """12-state / 4-control model: larger-dimension Riccati blocks in a real
+    constrained solve (thrust-bound inequalities + terminal hover equality)."""
+    from iterativelqr_tpu.models import quadrotor
+
+    T = 41
+    dynamics, objective, constraints, x1, xT = quadrotor.problem(T)
+    solver = Solver(
+        dynamics, objective, constraints, options=Options(verbose=False)
+    )
+    us = quadrotor.hover_controls(T)
+    _warm(solver, dynamics, x1, us)
+    sol = solver.solve()
+    assert float(sol.max_violation) <= 5.0e-3
+    xs, us_sol = solver.get_trajectory()
+    np.testing.assert_allclose(
+        np.asarray(xs[-1][:3]), np.asarray(xT[:3]), atol=5e-3
+    )
+    u_arr = np.stack(us_sol)
+    assert u_arr.min() >= -5e-3 and u_arr.max() <= 6.0 + 5e-3
