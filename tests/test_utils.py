@@ -75,3 +75,50 @@ def test_checkpoint_npz_fallback(tmp_path, monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(restored.penalty), np.asarray(state.penalty)
     )
+
+
+def test_solver_parameters_ctor_and_property():
+    """Per-timestep parameters through the Solver shell (reference: problem
+    parameter trajectories, src/data/problem.jl:25-46)."""
+    from iterativelqr_tpu import Constraint, Cost, Dynamics, Solver, Options
+
+    T = 7
+    A = jnp.array([[1.0, 0.2], [0.0, 1.0]])
+    dyn = Dynamics(lambda x, u, w: A @ x + jnp.array([0.0, 0.2]) * u[0] + w,
+                   2, 1, num_parameter=2)
+    stage = Cost(lambda x, u, w: 0.1 * (x @ x + u @ u), 2, 1, num_parameter=2)
+    term = Cost(lambda x, u, w: 0.1 * (x @ x), 2, 0, num_parameter=2)
+    params = [0.01 * jnp.ones(2) for _ in range(T)]
+    solver = Solver(
+        [dyn] * (T - 1), [stage] * (T - 1) + [term],
+        parameters=params, options=Options(verbose=False),
+    )
+    assert solver.parameters.shape == (T, 2)
+    np.testing.assert_allclose(np.asarray(solver.parameters[0]), 0.01)
+    sol = solver.solve()
+    assert bool(jnp.isfinite(sol.objective))
+
+
+def test_dual_warm_start_signature():
+    """make_solve_fn(dual_warm_start=True) seeds duals/penalties explicitly;
+    warm-starting with the converged duals converges at least as fast."""
+    from iterativelqr_tpu import Options, make_solve_fn
+    from iterativelqr_tpu.core.spec import build_spec
+    from iterativelqr_tpu.models import particle
+
+    T = 11
+    dynamics, objective, constraints, x1, xT = particle.problem(T)
+    spec = build_spec(dynamics, objective, constraints)
+    opts = Options(verbose=False)
+    cold = jax.jit(make_solve_fn(spec, opts))
+    warm = jax.jit(make_solve_fn(spec, opts, dual_warm_start=True))
+
+    xs = jnp.zeros((T, spec.nx), jnp.float64).at[0].set(x1)
+    us = jnp.zeros((T - 1, spec.nu), jnp.float64)
+    ws = jnp.zeros((T, 0), jnp.float64)
+    sol_cold = cold(xs, us, ws)
+    assert float(sol_cold.max_violation) <= 5e-3
+
+    sol_warm = warm(sol_cold.xs, sol_cold.us, ws, sol_cold.duals, sol_cold.penalty)
+    assert float(sol_warm.max_violation) <= 5e-3
+    assert int(sol_warm.al_iterations) <= int(sol_cold.al_iterations)
