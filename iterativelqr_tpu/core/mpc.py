@@ -46,6 +46,7 @@ def make_mpc_controller(
     options: Options = Options(),
     carry_duals: bool = False,
     shift_fill: str = "repeat",  # "repeat" last action | "zero"
+    step_objective_tolerance: Optional[float] = 1.0e-8,
 ):
     """Build ``init(xs, us, ws) -> MPCState`` and
     ``step(state, x_measured, ws) -> MPCStep`` (both pure/jittable).
@@ -55,11 +56,17 @@ def make_mpc_controller(
     multipliers shift too and seed the next solve (penalties restart at the
     initial penalty so a stale-dual seed cannot lock in a huge penalty).
 
-    Options note: warm-started re-solves want *tighter* stopping tolerances
-    than cold solves — under the reference defaults (|dJ| < 1e-3) a shifted
-    plan can look converged after one iteration, leaving the applied action
-    one step stale; pass e.g. ``objective_tolerance=1e-8``.
+    Warm-started re-solves need *tighter* stopping tolerances than cold
+    solves: under the reference defaults (|dJ| < 1e-3) a shifted plan looks
+    converged after one iteration and the applied action is one step stale.
+    ``step_objective_tolerance`` therefore OVERRIDES ``options.objective_tolerance``
+    for the MPC solve (default 1e-8); pass ``None`` to keep the options' value
+    (only do this if you've set it tight yourself).
     """
+    if step_objective_tolerance is not None:
+        options = dataclasses.replace(
+            options, objective_tolerance=step_objective_tolerance
+        )
     solve = make_solve_fn(spec, options, dual_warm_start=True)
     nc = spec.nc
 

@@ -41,6 +41,13 @@ class Options:
     regularization_scale: float = 10.0
     max_regularization_steps: int = 20
 
+    # --- new: in-flight progress lines from INSIDE the jitted solve (one per
+    # AL round, via jax.debug.callback) — the reference prints during the
+    # solve (src/solve.jl:40-45); `verbose` here renders the full table only
+    # after the solve returns.  Zero cost when False (nothing is traced).
+    # Meant for long single-instance solves; under vmap it fires per instance.
+    live_progress: bool = False
+
     # --- new: per-iteration metric traces (cost / gradient / violation / step)
     # returned as arrays from the jitted solve; disable for maximum-throughput
     # batched sweeps where the trace buffers cost HBM bandwidth ---

@@ -60,10 +60,14 @@ class Solution:
     trace_violation: jax.Array
     trace_step_size: jax.Array
     trace_mask: jax.Array
+    # the constraint tolerance the solve ran with, carried so `converged`
+    # reflects the actual options (reference: src/options.jl:8) rather than a
+    # hardcoded default
+    tol_constraint: jax.Array
 
     @property
     def converged(self):
-        return self.max_violation <= jnp.asarray(5.0e-3)
+        return self.max_violation <= self.tol_constraint
 
 
 class _InnerCarry(NamedTuple):
@@ -338,6 +342,14 @@ def make_solve_fn(
             else:
                 duals, penalty = s.duals, s.penalty
                 stop = jnp.asarray(True)
+            if options.live_progress:
+                from ..utils.printing import live_progress_line
+
+                jax.debug.callback(
+                    live_progress_line,
+                    s.al_it, inner.it, inner.J, inner.grad_norm, viol_fresh,
+                    ordered=False,
+                )
             ws_next = s.ws
             xs_next, us_next = inner.xs, inner.us
             if callback is not None:
@@ -373,10 +385,21 @@ def make_solve_fn(
         # report the violation of the trajectory actually returned, evaluated
         # fresh — the carried value tracks the loop's view and must never be
         # the user-facing number
-        viol_final = viol_of(dv.constraint_values(spec, s.xs, s.us, s.ws))
+        c_final = dv.constraint_values(spec, s.xs, s.us, s.ws)
+        viol_final = viol_of(c_final)
+        # Re-derive gains/gradient about the RETURNED trajectory: inside the
+        # loop K/k/grad_norm are computed at the pre-step nominal, so on
+        # objective-tolerance or max-iteration exits they lag the accepted
+        # trajectory by one step.  The reference re-derives after every
+        # forward pass (src/solve.jl:28-32) and so always reports matching
+        # gains; one extra derive per solve (~1% of a batched solve) restores
+        # that invariant.
+        _, _, K_f, k_f, _, _, _, grad_f, _ = derive(
+            s.xs, s.us, s.ws, s.duals, s.penalty, c_final, s.reg
+        )
         return Solution(
-            xs=s.xs, us=s.us, K=s.K, k=s.k,
-            objective=s.J, gradient_norm=s.grad_norm,
+            xs=s.xs, us=s.us, K=K_f, k=k_f,
+            objective=s.J, gradient_norm=grad_f,
             max_violation=viol_final, status=s.status,
             iterations=s.total_iters, al_iterations=s.al_it,
             step_size=s.step_size, duals=s.duals, penalty=s.penalty,
@@ -384,6 +407,7 @@ def make_solve_fn(
             trace_cost=s.trace_cost, trace_gradient_norm=s.trace_grad,
             trace_violation=s.trace_viol, trace_step_size=s.trace_step,
             trace_mask=s.trace_mask,
+            tol_constraint=jnp.asarray(options.constraint_tolerance, dtype),
         )
 
     return solve_warm if dual_warm_start else solve

@@ -61,8 +61,8 @@ def line_search(
     J_prev,
     c_prev,
     options: Options,
-    duals=None,
-    penalty=None,
+    duals,
+    penalty,
 ):
     """Parallel-alpha Armijo search.
 
@@ -70,11 +70,14 @@ def line_search(
     to nominal, or the unchanged nominal with status=False on failure
     (reference: src/forward_pass.jl:44-56).
 
-    When ``duals``/``penalty`` are provided, candidate objectives are
-    accumulated *inside* the rollout scan (rollout_with_al_cost) and only the
-    winning candidate's constraint values are re-evaluated — the fast path
-    used by the solver; ``objective_fn`` then only serves the winner
-    re-evaluation.
+    Candidate objectives are accumulated *inside* the rollout scan
+    (``rollout_with_al_cost``, carry-only — materializing [n_alpha, T, nx]
+    candidate stacks dominated HBM traffic) and only the winning candidate is
+    re-rolled to recover its trajectory and constraint values.  The accepted
+    objective returned is the *scoring scan's* value ``J_c[idx]`` — the number
+    the Armijo test actually validated — so a different XLA fusion of the
+    winner re-roll can never report an objective that violates the accepted
+    Armijo bound or perturb the next iteration's ``J_prev``.
     """
     if options.line_search == "none":
         # unconditional full step (reference: src/options.jl:2 line_search
@@ -95,55 +98,33 @@ def line_search(
 
     na = options.num_step_sizes
     alphas = 0.5 ** jnp.arange(na, dtype=xbar.dtype)
-    fused = duals is not None
 
-    if fused:
-        # score every candidate with a trajectory-free (carry-only) rollout —
-        # materializing [n_alpha, T, nx] candidate stacks dominated HBM
-        # traffic — then re-roll only the winner below
-        def score_alpha(alpha):
-            _, _, J, _ = rollout_with_al_cost(
-                spec, xbar, ubar, ws, K, k, alpha, duals, penalty,
-                unroll=options.scan_unroll, cost_only=True,
-            )
-            return J
+    # score every candidate with a trajectory-free (carry-only) rollout, then
+    # re-roll only the winner below
+    def score_alpha(alpha):
+        _, _, J, _ = rollout_with_al_cost(
+            spec, xbar, ubar, ws, K, k, alpha, duals, penalty,
+            unroll=options.scan_unroll, cost_only=True,
+        )
+        return J
 
-        J_c = jax.vmap(score_alpha)(alphas)
-    else:
-        def try_alpha(alpha):
-            xs, us = closed_loop_rollout(
-                spec, xbar, ubar, ws, K, k, alpha, unroll=options.scan_unroll
-            )
-            J, c = objective_fn(xs, us)
-            return xs, us, J, c
-
-        xs_c, us_c, J_c, c_c = jax.vmap(try_alpha)(alphas)
+    J_c = jax.vmap(score_alpha)(alphas)
 
     c1 = jnp.asarray(options.armijo_c1, xbar.dtype)
     accept = (J_c <= J_prev + c1 * alphas * slope) & jnp.isfinite(J_c)
     status = jnp.any(accept)
     idx = jnp.argmax(accept)  # first (largest-alpha) accepted candidate
 
-    if fused:
-        # re-roll ONLY the winning candidate; its trajectory AND constraint
-        # values come out of the same scan (no separate constraint pass)
-        xs_w, us_w, J_w, c_win = rollout_with_al_cost(
-            spec, xbar, ubar, ws, K, k, alphas[idx], duals, penalty,
-            unroll=options.scan_unroll,
-        )
-        xs = jnp.where(status, xs_w, xbar)
-        us = jnp.where(status, us_w, ubar)
-        J = jnp.where(status, J_w, J_prev)
-        c = jnp.where(status, c_win, c_prev)
-    else:
-
-        def pick(arr_c, fallback):
-            return jnp.where(status, arr_c[idx], fallback)
-
-        xs = pick(xs_c, xbar)
-        us = pick(us_c, ubar)
-        J = jnp.where(status, J_c[idx], J_prev)
-        c = pick(c_c, c_prev)  # nominal violations unchanged on failure
+    # re-roll ONLY the winning candidate; its trajectory AND constraint
+    # values come out of the same scan (no separate constraint pass)
+    xs_w, us_w, _J_w, c_win = rollout_with_al_cost(
+        spec, xbar, ubar, ws, K, k, alphas[idx], duals, penalty,
+        unroll=options.scan_unroll,
+    )
+    xs = jnp.where(status, xs_w, xbar)
+    us = jnp.where(status, us_w, ubar)
+    J = jnp.where(status, J_c[idx], J_prev)
+    c = jnp.where(status, c_win, c_prev)
     # on failure the reference's loop exits having halved past min_step_size
     step_size = jnp.where(status, alphas[idx], alphas[-1] * 0.5)
     return xs, us, J, c, status, step_size

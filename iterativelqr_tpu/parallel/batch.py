@@ -56,7 +56,12 @@ class BatchStats(NamedTuple):
     line_search_failures: jax.Array
 
 
-def batch_stats(sol: Solution, constraint_tolerance: float = 5.0e-3) -> BatchStats:
+def batch_stats(sol: Solution, constraint_tolerance=None) -> BatchStats:
+    """Defaults to the tolerance the solve actually ran with
+    (``sol.tol_constraint``); pass a value only to re-bucket at a different
+    threshold."""
+    if constraint_tolerance is None:
+        constraint_tolerance = sol.tol_constraint
     solved = sol.max_violation <= constraint_tolerance
     return BatchStats(
         solved_fraction=jnp.mean(solved.astype(jnp.float32)),

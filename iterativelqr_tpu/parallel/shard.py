@@ -92,13 +92,17 @@ def distributed_initialize(**kwargs):
 
     On a pod slice each host calls this once before building meshes; the mesh
     from ``default_mesh()`` then spans all hosts' devices and global batches
-    are assembled with ``jax.make_array_from_process_local_data``.  No-op when
-    already initialized or running single-process.
+    are assembled with ``jax.make_array_from_process_local_data``.  No-op only
+    when already initialized; genuine init failures (bad coordinator address,
+    port conflicts) re-raise — silently degrading to a single-host mesh on a
+    pod surfaces later as hangs.
     """
     try:
         jax.distributed.initialize(**kwargs)
-    except (RuntimeError, ValueError):
-        pass  # already initialized or single-process
+    except (RuntimeError, ValueError) as e:
+        if "already initialized" in str(e).lower():
+            return
+        raise
 
 
 def global_batch_from_local(mesh: Mesh, axis_name: str, *local_arrays):

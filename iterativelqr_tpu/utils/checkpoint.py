@@ -30,7 +30,7 @@ def save(path: str, state: Any) -> str:
     rebuilds the structure from a ``like`` template.
     """
     leaves, _ = jax.tree.flatten(state)
-    flat = {f"leaf_{i:04d}": np.asarray(l) for i, l in enumerate(leaves)}
+    flat = {f"leaf_{i:08d}": np.asarray(l) for i, l in enumerate(leaves)}
     if _ocp is not None:
         ckptr = _ocp.PyTreeCheckpointer()
         path = os.path.abspath(path)
@@ -44,12 +44,23 @@ def save(path: str, state: Any) -> str:
 def load(path: str, like: Any) -> Any:
     """Load a pytree saved by ``save``; ``like`` provides the tree structure
     (e.g. a zeros-initialized state of the right shapes)."""
-    if _ocp is not None and os.path.isdir(path):
+    if os.path.isdir(path):
+        # orbax checkpoints are directories; a directory checkpoint cannot be
+        # read without orbax — fail loudly instead of np.load-ing a directory
+        if _ocp is None:
+            raise RuntimeError(
+                f"{path!r} is an orbax (directory) checkpoint but orbax-checkpoint "
+                "is not importable here; re-save as .npz in the source "
+                "environment or install orbax"
+            )
         ckptr = _ocp.PyTreeCheckpointer()
         data = ckptr.restore(os.path.abspath(path))
     else:
         data = np.load(path if path.endswith(".npz") else path + ".npz")
-    leaves = [data[k] for k in sorted(data.keys() if hasattr(data, "keys") else data.files)]
+    keys = list(data.keys() if hasattr(data, "keys") else data.files)
+    # sort numerically by the leaf index: lexicographic sort misorders mixed
+    # pad widths (leaf_10000 < leaf_2000)
+    leaves = [data[k] for k in sorted(keys, key=lambda s: int(s.rsplit("_", 1)[1]))]
     treedef = jax.tree.structure(like)
     return jax.tree.unflatten(
         treedef, [jax.numpy.asarray(l) for l in leaves]

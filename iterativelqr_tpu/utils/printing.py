@@ -24,6 +24,19 @@ def solver_info():
     print(_BANNER)
 
 
+def live_progress_line(al_it, inner_it, J, grad_norm, viol):
+    """One in-flight progress line, invoked from inside the jitted solve via
+    ``jax.debug.callback`` when ``Options.live_progress`` is set (the
+    reference prints during the solve, src/solve.jl:40-45,106).  Values arrive
+    as device scalars."""
+    print(
+        f"  [al {int(al_it):>2}] inner {int(inner_it):>4}  "
+        f"J {float(J):>13.6e}  |grad| {float(grad_norm):>10.4e}  "
+        f"viol {float(viol):>10.4e}",
+        flush=True,
+    )
+
+
 def print_solution(sol):
     tm = np.asarray(sol.trace_mask)
     tc = np.asarray(sol.trace_cost)
