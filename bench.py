@@ -68,9 +68,10 @@ def main():
     ap.add_argument("--quick", action="store_true", help="small batch smoke run")
     ap.add_argument(
         "--preset", choices=["tuned", "parity"], default="tuned",
-        help="tuned: hot-start AL penalty schedule + pallas backward on TPU "
-        "(same tolerances, ~2x fewer iterations, solved_fraction checked); "
-        "parity: the reference's exact defaults",
+        help="tuned: hot-start AL penalty schedule + 9-alpha grid + pallas "
+        "backward on TPU (same tolerances, fewer iterations, solved_fraction "
+        "checked); parity: the default options — reference tolerances and "
+        "knobs with the stall-gated adaptive AL schedule (adaptive_penalty)",
     )
     args = ap.parse_args()
     if args.quick:

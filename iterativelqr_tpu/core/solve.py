@@ -104,6 +104,7 @@ class _OuterCarry(NamedTuple):
     J: jax.Array
     grad_norm: jax.Array
     viol: jax.Array
+    viol_prev: jax.Array
     status: jax.Array
     step_size: jax.Array
     K: jax.Array
@@ -261,7 +262,12 @@ def make_solve_fn(
 
             it = s.it + 1
             viol = viol_of(c_n)
-            # convergence (reference: src/solve.jl:48-50)
+            # convergence (reference: src/solve.jl:48-50).  A Tassa-style
+            # "escalate reg and keep iterating on line-search trouble" inner
+            # loop was tried and measured WORSE (the escalated reg poisons
+            # subsequent AL rounds and wedges acrobot); the spurious
+            # floor-step |dJ| exits after dual updates are instead handled by
+            # the outer loop's stall-gated penalty growth (adaptive_penalty).
             stop = (
                 stop_grad
                 | (jnp.abs(J_n - s.J) < options.objective_tolerance)
@@ -309,7 +315,9 @@ def make_solve_fn(
             al_it=jnp.asarray(0), stop=jnp.asarray(False),
             total_iters=jnp.asarray(0),
             J=jnp.zeros((), dtype), grad_norm=jnp.zeros((), dtype),
-            viol=jnp.zeros((), dtype), status=jnp.asarray(True),
+            viol=jnp.zeros((), dtype),
+            viol_prev=jnp.asarray(jnp.inf, dtype),
+            status=jnp.asarray(True),
             step_size=jnp.ones((), dtype),
             K=jnp.zeros((T - 1, spec.nu, spec.nx), dtype),
             k=jnp.zeros((T - 1, spec.nu), dtype),
@@ -333,9 +341,24 @@ def make_solve_fn(
             viol_fresh = viol_of(c_fresh)
             stop = viol_fresh <= options.constraint_tolerance
             if nc > 0:
+                if options.adaptive_penalty:
+                    # stall-gated growth: when this AL round failed to cut the
+                    # violation by penalty_stall_gate, the current penalty is
+                    # too weak to restructure the trajectory — jump it by an
+                    # extra scaling_penalty_stalled instead of crawling up one
+                    # decade per round (measured: reaches the working range in
+                    # 1-2 rounds instead of 5+ on acrobot at parity defaults)
+                    stalled = viol_fresh > options.penalty_stall_gate * s.viol_prev
+                    scale_eff = jnp.where(
+                        stalled,
+                        options.scaling_penalty * options.scaling_penalty_stalled,
+                        options.scaling_penalty,
+                    )
+                else:
+                    scale_eff = options.scaling_penalty
                 new_duals, new_penalty = al_ops.dual_update(
                     c_fresh, s.duals, s.penalty, ineq,
-                    options.scaling_penalty, options.max_penalty,
+                    scale_eff, options.max_penalty,
                 )
                 duals = jnp.where(stop, s.duals, new_duals)
                 penalty = jnp.where(stop, s.penalty, new_penalty)
@@ -372,6 +395,7 @@ def make_solve_fn(
                 al_it=s.al_it + 1, stop=stop,
                 total_iters=s.total_iters + inner.it,
                 J=inner.J, grad_norm=inner.grad_norm, viol=viol_fresh,
+                viol_prev=viol_fresh,
                 status=inner.status, step_size=inner.step_size,
                 K=inner.K, k=inner.k,
                 trace_cost=s.trace_cost.at[s.al_it].set(inner.tr_cost) if options.record_traces else s.trace_cost,

@@ -20,7 +20,9 @@ MASS = 1.0
 GRAVITY = 9.81
 ARM = 0.2          # rotor arm length
 KT = 0.02          # yaw torque / thrust ratio
-INERTIA = jnp.array([0.01, 0.01, 0.02])
+# plain tuple: a module-level jnp.array would initialize the JAX backend at
+# import time, which breaks jax.distributed.initialize in multi-process entry
+INERTIA = (0.01, 0.01, 0.02)
 
 
 def quadrotor_continuous(x, u):
@@ -46,9 +48,8 @@ def quadrotor_continuous(x, u):
         ],
         x.dtype,
     )
-    wdot = (tau - jnp.cross(w, INERTIA.astype(x.dtype) * w)) / INERTIA.astype(
-        x.dtype
-    )
+    inertia = jnp.asarray(INERTIA, x.dtype)
+    wdot = (tau - jnp.cross(w, inertia * w)) / inertia
 
     # Euler angle kinematics (small-angle-safe form)
     t_pitch = jnp.tan(pitch)

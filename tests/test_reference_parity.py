@@ -32,7 +32,15 @@ def _np_openloop(prob, us):
 
 def _solve_both(jx_problem, np_problem, us0, x_atol, u_atol):
     dynamics, objective, constraints, x1, xT = jx_problem
-    solver = Solver(dynamics, objective, constraints, options=Options(verbose=False))
+    # adaptive_penalty=False: this test proves ALGORITHMIC equivalence with
+    # the reference's exact AL schedule (which the oracle implements).  The
+    # default stall-gated schedule reaches the same feasibility at the same
+    # tolerances but may select a different, equally feasible local optimum
+    # on swing-up problems (different penalty homotopy path).
+    solver = Solver(
+        dynamics, objective, constraints,
+        options=Options(verbose=False, adaptive_penalty=False),
+    )
     us_list = [jnp.asarray(u) for u in us0]
     xs_list = rollout(dynamics, x1, us_list)
     solver.initialize_states(xs_list)
