@@ -30,9 +30,12 @@ import numpy_reference as npr
 from iterativelqr_tpu import Options
 from iterativelqr_tpu.core.solve import make_solve_fn
 from iterativelqr_tpu.core.spec import build_spec
-from iterativelqr_tpu.models import acrobot, car, particle
+from iterativelqr_tpu.models import acrobot, car, cartpole, particle, quadrotor
 from iterativelqr_tpu.parallel import batch_stats, make_batched_solve_fn
 
+# (name, jax problem builder, numpy-oracle builder or None, T, us0(T))
+# cartpole/quadrotor are beyond the reference's example set; they have no
+# oracle implementation, so their rows measure the engine only
 PROBLEMS = [
     ("particle T=11", particle.problem, npr.particle_problem, 11,
      lambda T: np.zeros((T - 1, 1))),
@@ -42,6 +45,10 @@ PROBLEMS = [
      lambda T: 0.05 * np.ones((T - 1, 1))),
     ("acrobot T=101", acrobot.problem, npr.acrobot_problem, 101,
      lambda T: 0.05 * np.ones((T - 1, 1))),
+    ("cartpole T=101", cartpole.problem, None, 101,
+     lambda T: 0.1 * np.ones((T - 1, 1))),
+    ("quadrotor T=41", quadrotor.problem, None, 41,
+     lambda T: np.stack([np.asarray(u) for u in quadrotor.hover_controls(T)])),
 ]
 
 
@@ -116,10 +123,14 @@ def main():
     ]
     for name, jx, np_, T, us0_fn in PROBLEMS:
         us0 = us0_fn(T)
-        t_np, it_np, v_np = run_numpy(np_, T, us0)
+        if np_ is not None:
+            t_np, it_np, v_np = run_numpy(np_, T, us0)
+            np_cols = f"{t_np:.3f} | {it_np}"
+        else:
+            np_cols = "— | —"
         t1, v1, it1, tB, frac, B = run_engine(jx, T, us0, args.batch)
         lines.append(
-            f"| {name} | {t_np:.3f} | {it_np} | {t1:.4f} | {v1:.1e} | "
+            f"| {name} | {np_cols} | {t1:.4f} | {v1:.1e} | "
             f"{tB:.3f} | {B / tB:.0f} | {frac:.4f} |"
         )
         print(lines[-1], flush=True)

@@ -35,14 +35,11 @@ def main():
         [stage] * (T - 1) + [term],
         [Constraint() for _ in range(T - 1)] + [goal],
     )
-    # warm-started re-solves need tighter stopping tolerances than cold
-    # solves: with the reference defaults (|dJ| < 1e-3) a shifted plan looks
-    # "converged" after one iteration and the applied action goes stale
-    opts = Options(
-        verbose=False, record_traces=False,
-        objective_tolerance=1e-8, lagrangian_gradient_tolerance=1e-6,
-    )
-    init, step = make_mpc_controller(spec, opts, carry_duals=True)
+    # the controller's warm-start policy (closed-loop shift re-roll, dual +
+    # capped-penalty carry, step-tightened objective tolerance) is the
+    # default — see core/mpc.py and benchmarks/mpc_bench.py for measurements
+    opts = Options(verbose=False, record_traces=False)
+    init, step = make_mpc_controller(spec, opts)
     step = jax.jit(step)
 
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32

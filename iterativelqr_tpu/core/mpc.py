@@ -31,6 +31,7 @@ class MPCState:
 
     xs: jax.Array       # [T, nx] last solved nominal states
     us: jax.Array       # [T-1, nu] last solved nominal actions
+    K: jax.Array        # [T-1, nu, nx] last solved feedback gains
     duals: jax.Array    # [T, nc]
     penalty: jax.Array  # [T, nc]
 
@@ -44,28 +45,45 @@ class MPCStep(NamedTuple):
 def make_mpc_controller(
     spec: ProblemSpec,
     options: Options = Options(),
-    carry_duals: bool = False,
+    carry_duals: bool = True,
+    carry_penalty: bool = True,
+    penalty_carry_cap: float = 1.0e4,
     shift_fill: str = "repeat",  # "repeat" last action | "zero"
-    step_objective_tolerance: Optional[float] = 1.0e-8,
+    step_objective_tolerance: Optional[float] = 1.0e-4,
+    max_step_iterations: Optional[int] = None,
 ):
     """Build ``init(xs, us, ws) -> MPCState`` and
     ``step(state, x_measured, ws) -> MPCStep`` (both pure/jittable).
 
-    Each step: shift the previous plan by one timestep (warm start), clamp the
-    initial state to the measurement, re-solve.  With ``carry_duals`` the AL
-    multipliers shift too and seed the next solve (penalties restart at the
-    initial penalty so a stale-dual seed cannot lock in a huge penalty).
+    Each step: shift the previous plan (trajectory, gains, and — by default —
+    AL duals and penalties) one timestep, re-roll it CLOSED-LOOP from the
+    measured state, re-solve warm-started, emit the first action.
 
-    Warm-started re-solves need *tighter* stopping tolerances than cold
-    solves: under the reference defaults (|dJ| < 1e-3) a shifted plan looks
-    converged after one iteration and the applied action is one step stale.
-    ``step_objective_tolerance`` therefore OVERRIDES ``options.objective_tolerance``
-    for the MPC solve (default 1e-8); pass ``None`` to keep the options' value
-    (only do this if you've set it tight yourself).
+    Warm-start policy (all measured on acrobot T=51, 0.002-sigma state
+    disturbance per step; see benchmarks/mpc_bench.py):
+
+    * ``carry_duals`` + ``carry_penalty``: restarting the penalty at the
+      initial value forces the AL schedule to re-escalate EVERY step (mean
+      ~300 inner iterations/step); carrying both converges in one AL round
+      (~15).  ``penalty_carry_cap`` bounds the carried penalty because the
+      1e5+ range makes the inner problem needlessly stiff (tiny Armijo
+      steps); 1e4 measured best.
+    * ``step_objective_tolerance`` overrides ``options.objective_tolerance``
+      for step re-solves (default 1e-4; the cold-solve default 1e-3 can
+      accept a barely-improved plan, while 1e-6 and tighter buys no closed-
+      loop quality and triples iterations).  Pass ``None`` to keep the
+      options' value.
+    * ``max_step_iterations``: optional hard per-step inner-iteration budget
+      (real-time-iteration mode).  >= 5 keeps acrobot stable; 1-2 diverges —
+      the budget bounds worst-case latency at some transient-quality cost.
     """
     if step_objective_tolerance is not None:
         options = dataclasses.replace(
             options, objective_tolerance=step_objective_tolerance
+        )
+    if max_step_iterations is not None:
+        options = dataclasses.replace(
+            options, max_iterations=max_step_iterations
         )
     solve = make_solve_fn(spec, options, dual_warm_start=True)
     nc = spec.nc
@@ -75,6 +93,7 @@ def make_mpc_controller(
         return MPCState(
             xs=xs,
             us=us,
+            K=jnp.zeros((spec.T - 1, spec.nu, spec.nx), dtype),
             duals=jnp.zeros((spec.T, nc), dtype),
             penalty=jnp.full((spec.T, nc), options.initial_constraint_penalty, dtype),
         )
@@ -84,23 +103,40 @@ def make_mpc_controller(
         # shift: plan_{t} <- plan_{t+1}; fill the tail
         tail = state.us[-1:] if shift_fill == "repeat" else jnp.zeros_like(state.us[-1:])
         us = jnp.concatenate([state.us[1:], tail], axis=0)
-        # re-roll the shifted controls from the measurement: splicing the
-        # measured state into the old plan leaves a dynamically inconsistent
-        # nominal whose (underestimated) objective makes the Armijo test
-        # reject every candidate — the solver would return the stale plan
-        from ..ops.rollout import open_loop_rollout
+        xs_shift = jnp.concatenate([state.xs[1:], state.xs[-1:]], axis=0)
+        K_shift = jnp.concatenate([state.K[1:], state.K[-1:]], axis=0)
+        # Re-roll the shifted plan from the measurement CLOSED-LOOP around the
+        # old nominal (u_t = us_t + K_t (x_t - xs_shift_t)).  Two failure
+        # modes this avoids (both measured): splicing the measured state into
+        # the old plan leaves a dynamically inconsistent nominal whose
+        # underestimated objective wedges the Armijo test; an OPEN-loop
+        # re-roll of the shifted controls diverges over the horizon for
+        # unstable plants (acrobot: violations reached 1e186), burying the
+        # warm start.  The feedback re-roll keeps the nominal consistent AND
+        # near the previous optimum, so the warm solve does few iterations.
+        from ..ops.rollout import closed_loop_rollout
 
-        xs = open_loop_rollout(spec, x_measured.astype(dtype), us, ws)
+        xs, us = closed_loop_rollout(
+            spec, xs_shift, us, ws,
+            K_shift, jnp.zeros_like(us), 0.0,
+            x0=x_measured.astype(dtype),
+        )
         if carry_duals and nc > 0:
             duals = jnp.concatenate([state.duals[1:], state.duals[-1:]], axis=0)
         else:
             duals = jnp.zeros((spec.T, nc), dtype)
-        penalty = jnp.full(
-            (spec.T, nc), options.initial_constraint_penalty, dtype
-        )
+        if carry_penalty and nc > 0:
+            penalty = jnp.minimum(
+                jnp.concatenate([state.penalty[1:], state.penalty[-1:]], axis=0),
+                jnp.asarray(penalty_carry_cap, dtype),
+            )
+        else:
+            penalty = jnp.full(
+                (spec.T, nc), options.initial_constraint_penalty, dtype
+            )
         sol = solve(xs, us, ws, duals, penalty)
         new_state = MPCState(
-            xs=sol.xs, us=sol.us, duals=sol.duals, penalty=penalty
+            xs=sol.xs, us=sol.us, K=sol.K, duals=sol.duals, penalty=sol.penalty
         )
         return MPCStep(state=new_state, action=sol.us[0], solution=sol)
 

@@ -19,8 +19,12 @@ from ..core.spec import Dynamics, ProblemSpec
 from . import linalg_small
 
 
-def closed_loop_rollout(spec: ProblemSpec, xbar, ubar, ws, K, k, alpha, unroll=1):
-    """Roll out the policy from xbar[0]. Returns (xs [T,nx], us [T-1,nu])."""
+def closed_loop_rollout(
+    spec: ProblemSpec, xbar, ubar, ws, K, k, alpha, unroll=1, x0=None
+):
+    """Roll out the policy from ``x0`` (default ``xbar[0]``).
+    Returns (xs [T,nx], us [T-1,nu]).  ``x0`` lets MPC re-roll the shifted
+    plan from a measured state while still tracking the old nominal."""
     branches = spec.dyn_eval
     multi = len(branches) > 1
     tidx = jnp.asarray(spec.dyn_tidx) if multi else None
@@ -40,7 +44,8 @@ def closed_loop_rollout(spec: ProblemSpec, xbar, ubar, ws, K, k, alpha, unroll=1
     inputs = (xbar[:-1], ubar, ws[:-1], K, k)
     if multi:
         inputs = (tidx,) + inputs
-    x_last, (xs_head, us) = jax.lax.scan(step, xbar[0], inputs, unroll=unroll)
+    x_start = xbar[0] if x0 is None else x0
+    x_last, (xs_head, us) = jax.lax.scan(step, x_start, inputs, unroll=unroll)
     xs = jnp.concatenate([xs_head, x_last[None]], axis=0)
     return xs, us
 

@@ -48,6 +48,7 @@ def _state():
     return MPCState(
         xs=jnp.arange(6.0).reshape(3, 2),
         us=jnp.ones((2, 1)),
+        K=jnp.zeros((2, 1, 2)),
         duals=jnp.zeros((3, 2)),
         penalty=jnp.full((3, 2), 10.0),
     )
