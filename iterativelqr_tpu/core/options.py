@@ -59,6 +59,17 @@ class Options:
     penalty_stall_gate: float = 0.25
     scaling_penalty_stalled: float = 100.0
 
+    # --- new: fuse the outer AL loop and inner iLQR loop into ONE while loop
+    # with per-instance AL state (default).  Under vmap the nested loops cost
+    # the SUM over AL rounds of each round's max iteration count across the
+    # batch; the fused loop costs only the max TOTAL count (measured B=4096
+    # parity bench: per-instance max 238 iterations, nested loop trips 500+).
+    # Per-instance semantics are identical (same iterate sequence, stopping
+    # rules, and dual-update points; round-boundary objective is rebased
+    # algebraically instead of re-evaluated).  False restores the nested
+    # two-level loop. ---
+    fused_al_loop: bool = True
+
     # --- new: in-flight progress lines from INSIDE the jitted solve (one per
     # AL round, via jax.debug.callback) — the reference prints during the
     # solve (src/solve.jl:40-45); `verbose` here renders the full table only
@@ -80,6 +91,11 @@ class Options:
     # "associative": jax.lax.associative_scan parallel-prefix Riccati (O(log T) depth)
     # "pallas": fused whole-recursion TPU kernel for batched solves
     #           (ops/pallas_backward.py); single-instance calls fall back to scan
+    # "packed": layout-aware fused derive -> chunked pallas backward pipeline
+    #           (ops/packed_pipeline.py): under vmap the whole derivative +
+    #           backward + Armijo-slope chain runs batch-trailing so the
+    #           derivative stacks are born in the kernel's packed layout;
+    #           single-instance and non-TPU calls fall back to scan
     # "auto":   associative for single-instance (latency-bound) solves,
     #           scan under vmap (throughput-bound batches) — measured regimes
     backward_pass: str = "scan"
@@ -87,7 +103,9 @@ class Options:
     def __post_init__(self):
         if self.line_search not in ("armijo", "none"):
             raise ValueError(f"unknown line_search {self.line_search!r}")
-        if self.backward_pass not in ("scan", "associative", "pallas", "auto"):
+        if self.backward_pass not in (
+            "scan", "associative", "pallas", "packed", "auto"
+        ):
             raise ValueError(f"unknown backward_pass {self.backward_pass!r}")
 
     @property

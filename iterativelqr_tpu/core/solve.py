@@ -91,6 +91,30 @@ class _InnerCarry(NamedTuple):
     tr_mask: jax.Array
 
 
+class _FusedCarry(NamedTuple):
+    xs: jax.Array
+    us: jax.Array
+    ws: jax.Array
+    duals: jax.Array
+    penalty: jax.Array
+    J: jax.Array
+    c: jax.Array
+    reg: jax.Array
+    viol_prev: jax.Array
+    al_it: jax.Array
+    inner_it: jax.Array
+    total_it: jax.Array
+    status: jax.Array
+    step_size: jax.Array
+    viol: jax.Array
+    stop: jax.Array
+    trace_cost: jax.Array
+    trace_grad: jax.Array
+    trace_viol: jax.Array
+    trace_step: jax.Array
+    trace_mask: jax.Array
+
+
 class _OuterCarry(NamedTuple):
     xs: jax.Array
     us: jax.Array
@@ -188,8 +212,57 @@ def make_solve_fn(
         grad_norm = jnp.maximum(jnp.max(lx), jnp.max(lu))
         return fx, fu, K, k, Qx, Qu, p, grad_norm, reg_next
 
+    if options.backward_pass == "packed":
+        from ..ops.packed_pipeline import make_derive_backward
+
+        _packed_dispatch = make_derive_backward(spec, options)
+
+        def derive_and_slope(xs, us, ws, duals, penalty, c, reg):
+            return _packed_dispatch(xs, us, ws, duals, penalty, c, reg)
+
+    else:
+
+        def derive_and_slope(xs, us, ws, duals, penalty, c, reg):
+            fx, fu, K, k, Qx, Qu, p, grad_norm, reg_next = derive(
+                xs, us, ws, duals, penalty, c, reg
+            )
+            if armijo:
+                zx, zu = trajectory_sensitivities(
+                    fx, fu, K, k, unroll=options.scan_unroll
+                )
+                slope = armijo_slope(Qx, Qu, p, zx, zu)
+            else:
+                slope = jnp.zeros((), xs.dtype)
+            return K, k, slope, grad_norm, reg_next
+
     def viol_of(c):
         return al_ops.max_violation(c, ineq, c_mask)
+
+    def al_transition(c_fresh, viol_fresh, duals, penalty, viol_prev):
+        """Dual/penalty update for one AL round boundary (see the
+        adaptive_penalty notes in core/options.py).  Returns the POST-update
+        pair; callers gate application with jnp.where."""
+        if nc == 0:
+            return duals, penalty
+        if options.adaptive_penalty:
+            stalled = viol_fresh > options.penalty_stall_gate * viol_prev
+            scale_eff = jnp.where(
+                stalled,
+                options.scaling_penalty * options.scaling_penalty_stalled,
+                options.scaling_penalty,
+            )
+        else:
+            stalled = jnp.asarray(False)
+            scale_eff = options.scaling_penalty
+        new_duals, new_penalty = al_ops.dual_update(
+            c_fresh, duals, penalty, ineq, scale_eff, options.max_penalty
+        )
+        if options.adaptive_penalty:
+            # skip the ascent while stalled: lambda += rho*c with large rho
+            # and large c manufactures huge multipliers whose linear term
+            # rewards constraint-crashing steps (measured TPU divergence)
+            new_duals = jnp.where(stalled, duals, new_duals)
+        return new_duals, new_penalty
 
     def ilqr(xs, us, ws, duals, penalty, reg):
         """Inner iLQR loop, restructured for single-trace bodies.
@@ -223,21 +296,13 @@ def make_solve_fn(
             return (~s.stop) & (s.it < options.max_iterations)
 
         def body(s: _InnerCarry):
-            fx, fu, K, k, Qx, Qu, p, grad_norm, reg = derive(
+            K, k, slope, grad_norm, reg = derive_and_slope(
                 s.xs, s.us, ws, duals, penalty, s.c, s.reg
             )
             # gradient stop at the current nominal
             # (reference: src/solve.jl:48, checked there post-forward at the
             # same point; also fires at the warm-started initial nominal)
             stop_grad = grad_norm < options.lagrangian_gradient_tolerance
-
-            if armijo:
-                zx, zu = trajectory_sensitivities(
-                    fx, fu, K, k, unroll=options.scan_unroll
-                )
-                slope = armijo_slope(Qx, Qu, p, zx, zu)
-            else:
-                slope = jnp.zeros((), dtype)
             xs_n, us_n, J_n, c_n, status, step = line_search(
                 spec, obj_fn, s.xs, s.us, ws, K, k, slope, s.J, s.c, options,
                 duals=duals, penalty=penalty,
@@ -286,6 +351,157 @@ def make_solve_fn(
 
         return jax.lax.while_loop(cond, body, carry)
 
+    def fused_loop(xs, us, ws, duals0, penalty0) -> _FusedCarry:
+        """Single fused AL x iLQR while-loop (default path).
+
+        The nested two-level loop (outer dual updates x inner iLQR) costs, under
+        ``vmap``, SUM over rounds of the PER-ROUND MAX iteration count across
+        instances — instances' rounds don't align, so a 4-round batch pays far
+        more masked iterations than any single instance runs (measured on the
+        B=4096 parity bench: per-instance max 238 total iterations but ~500+
+        masked loop trips).  Fusing both levels into one loop with per-instance
+        AL state (duals/penalty/round counters in the carry, dual updates
+        applied via masks at each instance's own round boundaries) bounds the
+        batch at MAX over instances of their TOTAL iterations.
+
+        Per-instance semantics match the nested path: same derive/line-search
+        sequence, same stopping rules, same dual-update points.  The only
+        deviation: at a round boundary the next round's initial objective is
+        REBASED algebraically (J - al_terms(old) + al_terms(new)) instead of
+        re-evaluated from scratch — bitwise-identical up to fp association.
+        """
+        dtype = xs.dtype
+        n_tr = options.max_iterations if options.record_traces else 1
+        n_al = options.max_dual_updates if options.record_traces else 1
+        J0, c0 = al_objective(xs, us, ws, duals0, penalty0)
+        zt = jnp.zeros((n_al, n_tr), dtype)
+        carry = _FusedCarry(
+            xs=xs, us=us, ws=ws, duals=duals0, penalty=penalty0,
+            J=J0, c=c0,
+            reg=jnp.asarray(options.regularization_initial, dtype),
+            viol_prev=jnp.asarray(jnp.inf, dtype),
+            al_it=jnp.asarray(0), inner_it=jnp.asarray(0),
+            total_it=jnp.asarray(0),
+            status=jnp.asarray(True), step_size=jnp.ones((), dtype),
+            viol=viol_of(c0), stop=jnp.asarray(False),
+            trace_cost=zt, trace_grad=zt, trace_viol=zt, trace_step=zt,
+            trace_mask=jnp.zeros(zt.shape, bool),
+        )
+
+        def cond(s: _FusedCarry):
+            return ~s.stop
+
+        def body(s: _FusedCarry):
+            K, k, slope, grad_norm, reg = derive_and_slope(
+                s.xs, s.us, s.ws, s.duals, s.penalty, s.c, s.reg
+            )
+            stop_grad = grad_norm < options.lagrangian_gradient_tolerance
+            obj_fn = lambda xs_, us_: al_objective(
+                xs_, us_, s.ws, s.duals, s.penalty
+            )
+            xs_n, us_n, J_n, c_n, status, step = line_search(
+                spec, obj_fn, s.xs, s.us, s.ws, K, k, slope, s.J, s.c,
+                options, duals=s.duals, penalty=s.penalty,
+            )
+            # barrier: see the nested body's note on the XLA CPU while-loop
+            # stale-carry miscompilation
+            xs_n, us_n, J_n, c_n = jax.lax.optimization_barrier(
+                (xs_n, us_n, J_n, c_n)
+            )
+            keep = ~stop_grad
+            xs_n = jnp.where(keep, xs_n, s.xs)
+            us_n = jnp.where(keep, us_n, s.us)
+            J_n = jnp.where(keep, J_n, s.J)
+            c_n = jnp.where(keep, c_n, s.c)
+            status = jnp.where(keep, status, s.status)
+            step = jnp.where(keep, step, s.step_size)
+
+            inner1 = s.inner_it + 1
+            # inner-round convergence (reference: src/solve.jl:48-50) or
+            # iteration budget exhausted
+            round_end = (
+                stop_grad
+                | (jnp.abs(J_n - s.J) < options.objective_tolerance)
+                | (~status)
+                | (inner1 >= options.max_iterations)
+            )
+            viol = viol_of(c_n)
+            feasible = viol <= options.constraint_tolerance
+            solve_done = round_end & (
+                feasible | (s.al_it + 1 >= options.max_dual_updates)
+            )
+            do_update = round_end & ~solve_done
+
+            new_duals, new_penalty = al_transition(
+                c_n, viol, s.duals, s.penalty, s.viol_prev
+            )
+            duals2 = jnp.where(do_update, new_duals, s.duals)
+            pen2 = jnp.where(do_update, new_penalty, s.penalty)
+            if nc > 0:
+                # rebase the carried objective onto the new AL parameters so
+                # the next iteration's J_prev equals the new round's J0
+                J_reb = (
+                    J_n
+                    - al_ops.al_terms(c_n, s.duals, s.penalty, ineq)
+                    + al_ops.al_terms(c_n, duals2, pen2, ineq)
+                )
+                J2 = jnp.where(do_update, J_reb, J_n)
+            else:
+                J2 = J_n
+
+            ws2 = s.ws
+            if callback is not None:
+                cb = callback(
+                    CallbackState(
+                        xs=xs_n, us=us_n, ws=s.ws,
+                        duals=duals2, penalty=pen2, al_iteration=s.al_it,
+                    )
+                )
+                xs_cb = jnp.where(do_update, cb.xs, xs_n)
+                us_cb = jnp.where(do_update, cb.us, us_n)
+                ws2 = jnp.where(do_update, cb.ws, s.ws)
+                duals2 = jnp.where(do_update, cb.duals, duals2)
+                pen2 = jnp.where(do_update, cb.penalty, pen2)
+                # a callback may have changed the problem: re-evaluate the
+                # objective (only traced when a callback exists)
+                J_cb, c_cb = al_objective(xs_cb, us_cb, ws2, duals2, pen2)
+                xs_n = xs_cb
+                us_n = us_cb
+                J2 = jnp.where(do_update, J_cb, J2)
+                c_n = jnp.where(do_update, c_cb, c_n)
+
+            if options.live_progress:
+                from ..utils.printing import live_progress_line
+
+                jax.lax.cond(
+                    round_end,
+                    lambda a, b, c_, d, e: jax.debug.callback(
+                        live_progress_line, a, b, c_, d, e, ordered=False
+                    ),
+                    lambda a, b, c_, d, e: None,
+                    s.al_it, inner1, J_n, grad_norm, viol,
+                )
+
+            rt = options.record_traces
+            ai, ii = s.al_it, s.inner_it
+            return _FusedCarry(
+                xs=xs_n, us=us_n, ws=ws2, duals=duals2, penalty=pen2,
+                J=J2, c=c_n, reg=reg,
+                viol_prev=jnp.where(round_end, viol, s.viol_prev),
+                al_it=s.al_it + round_end.astype(s.al_it.dtype),
+                inner_it=jnp.where(round_end, 0, inner1),
+                total_it=s.total_it + 1,
+                status=status, step_size=step, viol=viol,
+                stop=solve_done,
+                trace_cost=s.trace_cost.at[ai, ii].set(J_n) if rt else s.trace_cost,
+                trace_grad=s.trace_grad.at[ai, ii].set(grad_norm) if rt else s.trace_grad,
+                trace_viol=s.trace_viol.at[ai, ii].set(viol) if rt else s.trace_viol,
+                trace_step=s.trace_step.at[ai, ii].set(step) if rt else s.trace_step,
+                trace_mask=s.trace_mask.at[ai, ii].set(True) if rt else s.trace_mask,
+            )
+
+        return jax.lax.while_loop(cond, body, carry)
+
     def solve(xs_init, us_init, ws) -> Solution:
         # TPU MXU matmuls default to bfloat16 multiply-accumulate, which
         # destroys Riccati-recursion conditioning (observed: 62% solved /
@@ -305,6 +521,14 @@ def make_solve_fn(
             duals0 = jnp.zeros((T, nc), dtype)
         if penalty0 is None:
             penalty0 = jnp.full((T, nc), options.initial_constraint_penalty, dtype)
+        if options.fused_al_loop:
+            s = fused_loop(xs_init, us_init, ws, duals0, penalty0)
+            return _finish(
+                s.xs, s.us, s.ws, s.duals, s.penalty, s.reg, s.J,
+                s.status, s.step_size, s.total_it, s.al_it,
+                s.trace_cost, s.trace_grad, s.trace_viol, s.trace_step,
+                s.trace_mask, dtype,
+            )
         n_tr = options.max_iterations if options.record_traces else 1
         n_al = options.max_dual_updates if options.record_traces else 1
         zt = jnp.zeros((n_al, n_tr), dtype)
@@ -341,24 +565,8 @@ def make_solve_fn(
             viol_fresh = viol_of(c_fresh)
             stop = viol_fresh <= options.constraint_tolerance
             if nc > 0:
-                if options.adaptive_penalty:
-                    # stall-gated growth: when this AL round failed to cut the
-                    # violation by penalty_stall_gate, the current penalty is
-                    # too weak to restructure the trajectory — jump it by an
-                    # extra scaling_penalty_stalled instead of crawling up one
-                    # decade per round (measured: reaches the working range in
-                    # 1-2 rounds instead of 5+ on acrobot at parity defaults)
-                    stalled = viol_fresh > options.penalty_stall_gate * s.viol_prev
-                    scale_eff = jnp.where(
-                        stalled,
-                        options.scaling_penalty * options.scaling_penalty_stalled,
-                        options.scaling_penalty,
-                    )
-                else:
-                    scale_eff = options.scaling_penalty
-                new_duals, new_penalty = al_ops.dual_update(
-                    c_fresh, s.duals, s.penalty, ineq,
-                    scale_eff, options.max_penalty,
+                new_duals, new_penalty = al_transition(
+                    c_fresh, viol_fresh, s.duals, s.penalty, s.viol_prev
                 )
                 duals = jnp.where(stop, s.duals, new_duals)
                 penalty = jnp.where(stop, s.penalty, new_penalty)
@@ -406,10 +614,20 @@ def make_solve_fn(
             )
 
         s = jax.lax.while_loop(cond, body, carry)
+        return _finish(
+            s.xs, s.us, s.ws, s.duals, s.penalty, s.reg, s.J,
+            s.status, s.step_size, s.total_iters, s.al_it,
+            s.trace_cost, s.trace_grad, s.trace_viol, s.trace_step,
+            s.trace_mask, dtype,
+        )
+
+    def _finish(xs, us, ws, duals, penalty, reg, J, status, step_size,
+                total_iters, al_it, tr_cost, tr_grad, tr_viol, tr_step,
+                tr_mask, dtype) -> Solution:
         # report the violation of the trajectory actually returned, evaluated
         # fresh — the carried value tracks the loop's view and must never be
         # the user-facing number
-        c_final = dv.constraint_values(spec, s.xs, s.us, s.ws)
+        c_final = dv.constraint_values(spec, xs, us, ws)
         viol_final = viol_of(c_final)
         # Re-derive gains/gradient about the RETURNED trajectory: inside the
         # loop K/k/grad_norm are computed at the pre-step nominal, so on
@@ -418,19 +636,19 @@ def make_solve_fn(
         # forward pass (src/solve.jl:28-32) and so always reports matching
         # gains; one extra derive per solve (~1% of a batched solve) restores
         # that invariant.
-        _, _, K_f, k_f, _, _, _, grad_f, _ = derive(
-            s.xs, s.us, s.ws, s.duals, s.penalty, c_final, s.reg
+        K_f, k_f, _, grad_f, _ = derive_and_slope(
+            xs, us, ws, duals, penalty, c_final, reg
         )
         return Solution(
-            xs=s.xs, us=s.us, K=K_f, k=k_f,
-            objective=s.J, gradient_norm=grad_f,
-            max_violation=viol_final, status=s.status,
-            iterations=s.total_iters, al_iterations=s.al_it,
-            step_size=s.step_size, duals=s.duals, penalty=s.penalty,
-            reg=s.reg,
-            trace_cost=s.trace_cost, trace_gradient_norm=s.trace_grad,
-            trace_violation=s.trace_viol, trace_step_size=s.trace_step,
-            trace_mask=s.trace_mask,
+            xs=xs, us=us, K=K_f, k=k_f,
+            objective=J, gradient_norm=grad_f,
+            max_violation=viol_final, status=status,
+            iterations=total_iters, al_iterations=al_it,
+            step_size=step_size, duals=duals, penalty=penalty,
+            reg=reg,
+            trace_cost=tr_cost, trace_gradient_norm=tr_grad,
+            trace_violation=tr_viol, trace_step_size=tr_step,
+            trace_mask=tr_mask,
             tol_constraint=jnp.asarray(options.constraint_tolerance, dtype),
         )
 

@@ -263,6 +263,86 @@ def pack_stacks(fx, fu, gx, gu, gxx, guu, gux, u_mask,
     return packed, gxxT, gxT, meta
 
 
+def pack_stacks_bt(fx, fu, gx, gu, gxx, guu, gux, u_mask,
+                   block_b=DEFAULT_BLOCK_B, chunk=DEFAULT_CHUNK):
+    """Batch-TRAILING stacks (fx [Tm1,n,n,B], gx [T,n,B], ...) -> packed.
+
+    The batch-trailing layout means every reshape here is a view (no
+    transposes); this is the entry used by the fused derive pipeline
+    (ops/packed_pipeline.py).
+    """
+    Tm1, n, _, B = fx.shape
+    m = fu.shape[2]
+    dtype = fx.dtype
+    Bp = _round_up(B, block_b)
+    S_all = Bp // 128
+    Tp = _round_up(Tm1, chunk)
+    *_, F = _offsets(n, m)
+
+    um = u_mask.astype(dtype)                                # [Tm1, m]
+    guu = guu + (jnp.eye(m, dtype=dtype)[None] * (1.0 - um)[:, None, :])[
+        ..., None
+    ]
+
+    def lay(a, d):
+        if Bp != B:
+            a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, Bp - B)])
+        return a.reshape(a.shape[0], d, S_all, 128)
+
+    packed = jnp.concatenate(
+        [
+            lay(fx, n * n),
+            lay(fu, n * m),
+            lay(gx[:-1], n),
+            lay(gu, m),
+            lay(gxx[:-1], n * n),
+            lay(guu, m * m),
+            lay(gux, m * n),
+        ],
+        axis=1,
+    )
+    if Tp != Tm1:
+        eye_n = jnp.eye(n, dtype=dtype).reshape(n * n)
+        eye_m = jnp.eye(m, dtype=dtype).reshape(m * m)
+        o = _offsets(n, m)
+        pad_row = jnp.zeros((F,), dtype)
+        pad_row = pad_row.at[o[0] : o[0] + n * n].set(eye_n)
+        pad_row = pad_row.at[o[5] : o[5] + m * m].set(eye_m)
+        packed = jnp.concatenate(
+            [
+                packed,
+                jnp.broadcast_to(
+                    pad_row[None, :, None, None], (Tp - Tm1, F, S_all, 128)
+                ),
+            ],
+            axis=0,
+        )
+
+    def lay_term(a, *dims):
+        if Bp != B:
+            a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, Bp - B)])
+        return a.reshape(*dims, S_all, 128)
+
+    gxxT = lay_term(gxx[-1], n, n)
+    gxT = lay_term(gx[-1], n)
+    meta = dict(B=B, Bp=Bp, Tm1=Tm1, Tp=Tp, n=n, m=m, S_all=S_all)
+    return packed, gxxT, gxT, meta
+
+
+def unflatten_bt(a, meta):
+    """Kernel output [Tm1, *dims, S, 128] -> batch-trailing [Tm1, *dims, B]."""
+    B, Bp = meta["B"], meta["Bp"]
+    a = a.reshape(a.shape[:-2] + (Bp,))
+    return a[..., :B]
+
+
+def ok_vector(outs, meta):
+    """[B]-bool PD-success vector from kernel outputs."""
+    B, Bp = meta["B"], meta["Bp"]
+    ok_t = outs[5]
+    return ok_t.reshape(Bp)[:B] > 0.5
+
+
 def backward_pass_packed(packed, gxxT, gxT, reg, meta,
                          block_b=DEFAULT_BLOCK_B, chunk=DEFAULT_CHUNK,
                          interpret: bool = False):
@@ -313,7 +393,7 @@ def backward_pass_packed(packed, gxxT, gxT, reg, meta,
         jax.ShapeDtypeStruct((1, S_all, 128), dtype),          # ok
     )
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.ANY),                  # packed (HBM)
+        pl.BlockSpec(memory_space=pl.ANY),                  # packed (HBM)
         vspec(n, n),
         vspec(n),
         vspec(1),

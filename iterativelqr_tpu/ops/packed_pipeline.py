@@ -1,0 +1,290 @@
+"""Layout-aware fused derive -> packed backward pipeline (VERDICT r1 next #1).
+
+Round-1 measured two isolated wins that were end-to-end losses: the fused
+single-pass derivative stack (2.81 -> 2.26 ms at B=4096) and the packed-HBM
+pallas backward kernel — each forced layout transposes of the ~76MB
+derivative stacks at its boundary with the rest of the (batch-leading,
+vmap-generated) program.  This module removes the boundary: under ``vmap``
+the whole derive -> AL-augment -> backward -> Armijo-slope chain runs in
+BATCH-TRAILING layout, so the derivative stacks are *born* in the packed
+``[T, slot, sublane, lane]`` form the chunked pallas kernel
+(ops/packed_backward.py) consumes, and only the small outputs (gains K/k,
+per-instance scalars) are transposed back to batch-leading.
+
+Selected with ``Options(backward_pass="packed")``.  The unbatched call (and
+any non-TPU backend) falls back to the existing per-instance scan path, so
+semantics are identical everywhere; tests exercise the batched rule in
+pallas interpreter mode on CPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.spec import ProblemSpec
+from . import packed_backward as pk
+
+
+def _bt_tmap(fn):
+    """vmap a per-(x,u,w) function over [t, :, B] batch-trailing arrays."""
+    return jax.vmap(jax.vmap(fn, in_axes=-1, out_axes=-1), in_axes=0, out_axes=0)
+
+
+def _grouped_bt(fns, comb_key, rows, args):
+    """Batch-trailing analog of derivatives._grouped over combined stage-type
+    keys; args are [rows, :, B] arrays."""
+    uniq = np.unique(comb_key)
+    if len(uniq) == 1:
+        return _bt_tmap(fns[int(uniq[0])])(*args)
+    outs = None
+    for key in uniq:
+        idx = np.nonzero(comb_key == key)[0]
+        res = _bt_tmap(fns[int(key)])(*(a[idx] for a in args))
+        if outs is None:
+            outs = jax.tree.map(
+                lambda r: jnp.zeros((rows,) + r.shape[1:], r.dtype), res
+            )
+        outs = jax.tree.map(lambda o, r, i=idx: o.at[i].set(r), outs, res)
+    return outs
+
+
+def make_derive_backward(spec: ProblemSpec, options, interpret: bool = False):
+    """Build the custom-vmap derive+backward+slope dispatch.
+
+    Per-instance signature:
+        (xs [T,nx], us [T-1,nu], ws [T,npar], duals [T,nc], penalty [T,nc],
+         c [T,nc], reg scalar)
+          -> (K [T-1,nu,nx], k [T-1,nu], slope scalar, grad_norm scalar,
+              reg_next scalar)
+
+    Unbatched calls use the existing scan path; under vmap the batched rule
+    runs the batch-trailing pipeline + chunked pallas kernel (TPU; interpret
+    mode in tests).  Falls back to vmapping the per-instance path on other
+    backends.
+    """
+    from . import al as al_ops
+    from . import derivatives as dv
+    from .backward import backward_pass
+    from .forward import armijo_slope, trajectory_sensitivities
+
+    T, nx, nu, nc = spec.T, spec.nx, spec.nu, spec.nc
+    Tm1 = T - 1
+    ineq_np = spec.ineq_mask
+    x_mask_np = spec.x_mask
+    u_mask_np = spec.u_mask
+
+    # ---- per-instance path (also the reference semantics) -----------------
+
+    def single(xs, us, ws, duals, penalty, c, reg):
+        ineq = jnp.asarray(ineq_np)
+        x_mask = jnp.asarray(x_mask_np)
+        u_mask = jnp.asarray(u_mask_np)
+        fx, fu = dv.dynamics_jacobians(spec, xs, us, ws)
+        gx, gu = dv.cost_gradients(spec, xs, us, ws)
+        gxx, guu, gux = dv.cost_hessians(spec, xs, us, ws)
+        if nc > 0:
+            cx, cu = dv.constraint_jacobians(spec, xs, us, ws)
+            dgx, dgu, dgxx, dguu, dgux = al_ops.al_gradient_terms(
+                c, cx, cu, duals, penalty, ineq
+            )
+            gx, gu = gx + dgx, gu + dgu
+            gxx, guu, gux = gxx + dgxx, guu + dguu, gux + dgux
+        K, k, Qx, Qu, p, _ok, reg_next = backward_pass(
+            fx, fu, gx, gu, gxx, guu, gux, u_mask, reg, options
+        )
+        lx = jnp.abs(Qx - p) * x_mask[:-1]
+        lu = jnp.abs(Qu) * u_mask
+        grad_norm = jnp.maximum(jnp.max(lx), jnp.max(lu))
+        zx, zu = trajectory_sensitivities(fx, fu, K, k, unroll=options.scan_unroll)
+        slope = armijo_slope(Qx, Qu, p, zx, zu)
+        return K, k, slope, grad_norm, reg_next
+
+    # ---- batched batch-trailing pipeline -----------------------------------
+
+    # combined per-timestep derivative function per (dyn, cost, con) type key
+    n_cost = len(spec.cost_eval)
+    n_con = len(spec.con_eval)
+    comb_key = (
+        spec.dyn_tidx.astype(np.int64) * n_cost + spec.cost_tidx[:Tm1]
+    ) * n_con + spec.con_tidx[:Tm1]
+    uniq_keys = np.unique(comb_key)
+    fns = {}
+    for key in uniq_keys:
+        di, rest = divmod(int(key), n_cost * n_con)
+        gi, ci = divmod(rest, n_con)
+        dj, cg, ch, cj = (
+            spec.dyn_jac[di], spec.cost_grad[gi], spec.cost_hess[gi],
+            spec.con_jac[ci],
+        )
+
+        def per_t(x, u, w, dj=dj, cg=cg, ch=ch, cj=cj):
+            fx, fu = dj(x, u, w)
+            gx, gu = cg(x, u, w)
+            gxx, guu, gux = ch(x, u, w)
+            if nc > 0:
+                cx, cu = cj(x, u, w)
+                return fx, fu, gx, gu, gxx, guu, gux, cx, cu
+            return fx, fu, gx, gu, gxx, guu, gux
+
+        fns[int(key)] = per_t
+
+    gT = int(spec.cost_tidx[-1])
+    cT = int(spec.con_tidx[-1])
+
+    def batched(xs, us, ws, duals, penalty, c, reg):
+        """xs [B,T,nx] etc -> batch-leading outputs."""
+        B = xs.shape[0]
+        dtype = xs.dtype
+        to_bt = lambda a: jnp.moveaxis(a, 0, -1)
+        xs_t, us_t, ws_t = to_bt(xs), to_bt(us), to_bt(ws)
+        stacks = _grouped_bt(
+            fns, comb_key, Tm1, (xs_t[:-1], us_t, ws_t[:-1])
+        )
+        if nc > 0:
+            fx, fu, gx_s, gu, gxx_s, guu, gux, cx_s, cu = stacks
+        else:
+            fx, fu, gx_s, gu, gxx_s, guu, gux = stacks
+
+        # terminal stage (u = 0)
+        u0 = jnp.zeros((nu, B), dtype)
+        bmap = lambda fn: jax.vmap(fn, in_axes=-1, out_axes=-1)
+        gxT, _ = bmap(spec.cost_grad[gT])(xs_t[-1], u0, ws_t[-1])
+        gxxT, _, _ = bmap(spec.cost_hess[gT])(xs_t[-1], u0, ws_t[-1])
+        gx = jnp.concatenate([gx_s, gxT[None]], axis=0)        # [T,nx,B]
+        gxx = jnp.concatenate([gxx_s, gxxT[None]], axis=0)     # [T,nx,nx,B]
+
+        # AL Gauss-Newton augmentation, batch-trailing
+        if nc > 0:
+            cxT, _ = bmap(spec.con_jac[cT])(xs_t[-1], u0, ws_t[-1])
+            cx = jnp.concatenate([cx_s, cxT[None]], axis=0)    # [T,nc,nx,B]
+            c_t = to_bt(c)                                     # [T,nc,B]
+            lam = to_bt(duals)
+            rho = to_bt(penalty)
+            ineq = jnp.asarray(ineq_np)[:, :, None]
+            inactive = ineq & (c_t < 0.0) & (lam == 0.0)
+            a = jnp.where(inactive, 0.0, 1.0).astype(dtype)
+            irho = rho * a
+            ctmp = lam + irho * c_t
+            gx = gx + jnp.einsum("tcnB,tcB->tnB", cx, ctmp)
+            gxx = gxx + jnp.einsum("tciB,tcB,tcjB->tijB", cx, irho, cx)
+            gu = gu + jnp.einsum("tcmB,tcB->tmB", cu, ctmp[:-1])
+            guu = guu + jnp.einsum("tciB,tcB,tcjB->tijB", cu, irho[:-1], cu)
+            gux = gux + jnp.einsum(
+                "tciB,tcB,tcjB->tijB", cu, irho[:-1], cx[:-1]
+            )
+
+        # pack (stacks are already batch-trailing: reshape is layout-free)
+        packed, gxxT_l, gxT_l, meta = pk.pack_stacks_bt(
+            fx, fu, gx, gu, gxx, guu, gux,
+            jnp.asarray(u_mask_np),
+        )
+
+        # adaptive-regularization retry around the kernel (same policy as
+        # ops/backward.py::backward_pass, batched explicitly)
+        reg = reg.astype(dtype)
+
+        def run(reg_vec):
+            outs = pk.backward_pass_packed(
+                packed, gxxT_l, gxT_l, reg_vec, meta, interpret=interpret
+            )
+            return outs
+
+        def cond(s):
+            i, _, _, ok, _ = s
+            return (~jnp.all(ok)) & (i <= options.max_regularization_steps)
+
+        def body(s):
+            i, reg_try, reg_used, ok, _ = s
+            reg_run = jnp.where(ok, reg_used, reg_try)
+            outs = run(reg_run)
+            ok_now = pk.ok_vector(outs, meta)
+            reg_next = jnp.clip(
+                jnp.maximum(reg_run * options.regularization_scale,
+                            options.regularization_min),
+                options.regularization_min,
+                options.regularization_max,
+            )
+            return (i + 1, jnp.where(ok_now, reg_run, reg_next),
+                    reg_run, ok_now, outs)
+
+        outs0 = jax.tree.map(
+            jnp.zeros_like, jax.eval_shape(run, reg)
+        )
+        state = (
+            jnp.asarray(0), reg, reg, jnp.zeros((B,), bool), outs0
+        )
+        _, _, reg_used, ok, outs = jax.lax.while_loop(cond, body, state)
+        K_t, k_t, Qx_t, Qu_t, p_t, _ok_t = outs
+
+        # per-instance scalars, computed batch-trailing then flattened
+        x_m = jnp.asarray(x_mask_np[:-1], dtype)[:, :, None]   # [Tm1,nx,1]
+        u_m = jnp.asarray(u_mask_np, dtype)[:, :, None]
+        Qx_b = pk.unflatten_bt(Qx_t, meta)                     # [Tm1,nx,B]
+        Qu_b = pk.unflatten_bt(Qu_t, meta)
+        p_b = pk.unflatten_bt(p_t, meta)
+        K_b = pk.unflatten_bt(K_t, meta)                       # [Tm1,nu,nx,B]
+        k_b = pk.unflatten_bt(k_t, meta)
+        lx = jnp.abs(Qx_b - p_b) * x_m
+        lu = jnp.abs(Qu_b) * u_m
+        grad_norm = jnp.maximum(
+            jnp.max(lx, axis=(0, 1)), jnp.max(lu, axis=(0, 1))
+        )
+
+        # Armijo slope via the closed-loop sensitivity recursion,
+        # batch-trailing scan (ops/forward.py::trajectory_sensitivities)
+        def step(zx, inp):
+            fx_t, fu_t, K_tt, k_tt = inp
+            zu = k_tt + jnp.einsum("mnB,nB->mB", K_tt, zx)
+            zx_next = (
+                jnp.einsum("ijB,jB->iB", fx_t, zx)
+                + jnp.einsum("imB,mB->iB", fu_t, zu)
+            )
+            return zx_next, (zx, zu)
+
+        zx0 = jnp.zeros((nx, B), dtype)
+        _, (zx, zu) = jax.lax.scan(
+            step, zx0, (fx, fu, K_b, k_b), unroll=options.scan_unroll
+        )
+        slope = jnp.sum((Qx_b - p_b) * zx, axis=(0, 1)) + jnp.sum(
+            Qu_b * zu, axis=(0, 1)
+        )
+
+        # reg decay for the next iteration (ops/backward.py policy)
+        reg_next_carry = jnp.where(
+            reg_used <= options.regularization_min,
+            jnp.zeros_like(reg_used),
+            reg_used / options.regularization_scale,
+        )
+
+        to_bl = lambda a: jnp.moveaxis(a, -1, 0)
+        return (
+            to_bl(K_b), to_bl(k_b), slope, grad_norm, reg_next_carry
+        )
+
+    @jax.custom_batching.custom_vmap
+    def dispatch(xs, us, ws, duals, penalty, c, reg):
+        return single(xs, us, ws, duals, penalty, c, reg)
+
+    @dispatch.def_vmap
+    def _rule(axis_size, in_batched, xs, us, ws, duals, penalty, c, reg):
+        if not all(in_batched[:2]):
+            raise NotImplementedError("xs/us must be batched on axis 0")
+        bc = lambda a, b, shape: a if b else jnp.broadcast_to(a, shape)
+        B = axis_size
+        ws_b = bc(ws, in_batched[2], (B,) + ws.shape[-2:])
+        duals_b = bc(duals, in_batched[3], (B,) + duals.shape[-2:])
+        pen_b = bc(penalty, in_batched[4], (B,) + penalty.shape[-2:])
+        c_b = bc(c, in_batched[5], (B,) + c.shape[-2:])
+        reg_b = reg if in_batched[6] else jnp.broadcast_to(reg, (B,))
+        use_kernel = interpret or jax.default_backend() == "tpu"
+        if use_kernel:
+            out = batched(xs, us, ws_b, duals_b, pen_b, c_b, reg_b)
+        else:
+            out = jax.vmap(single)(xs, us, ws_b, duals_b, pen_b, c_b, reg_b)
+        return out, tuple(True for _ in out)
+
+    return dispatch

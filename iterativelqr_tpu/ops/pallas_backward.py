@@ -533,7 +533,7 @@ def backward_pass_batched_pallas_v2(
         jax.ShapeDtypeStruct((1, S_all, 128), dtype),          # ok
     )
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.ANY),                  # packed (HBM)
+        pl.BlockSpec(memory_space=pl.ANY),                  # packed (HBM)
         vspec(n, n),                                           # terminal gxx
         vspec(n),                                              # terminal gx
         pl.BlockSpec((Tm1, m), (lambda i: (0, 0)), memory_space=pltpu.VMEM),

