@@ -114,10 +114,15 @@ def main():
             # 9-candidate alpha grid: identical convergence on this problem
             # (accepted steps never fall below 4e-3), ~4x cheaper line search
             min_step_size=4.0e-3,
-            backward_pass="pallas" if jax.default_backend() == "tpu" else "scan",
+            backward_pass="packed" if jax.default_backend() == "tpu" else "scan",
         )
     else:
-        opts = Options(verbose=False, record_traces=False)
+        opts = Options(
+            verbose=False, record_traces=False,
+            # the packed pipeline changes implementation, not semantics
+            # (identical iterates; see ops/packed_pipeline.py)
+            backward_pass="packed" if jax.default_backend() == "tpu" else "scan",
+        )
 
     dtype = jnp.float32
     key = jax.random.PRNGKey(0)

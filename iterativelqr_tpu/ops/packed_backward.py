@@ -454,3 +454,224 @@ def backward_pass_batched_pallas_v3(
         block_b=block_b, chunk=chunk, interpret=interpret,
     )
     return unpack_outputs(outs, meta)
+
+
+# ---------------------------------------------------------------------------
+# v4 "multiref": per-stack DMA — no packed concat at all
+# ---------------------------------------------------------------------------
+#
+# pack_stacks_bt's concat re-tiles every stack (their [T, d, B] intermediates
+# carry tiny second-minor dims), measured ~4ms at B=4096 — 50x the kernel
+# itself.  v4 instead takes the SEVEN stacks as separate HBM refs already in
+# tile-aligned [T, *dims, S, 128] form (the fused derive emits exactly this)
+# and issues seven chunked DMAs per buffer slot.  Nothing is ever
+# re-laid-out.
+
+
+def _kernel_mr(n, m, Tp, chunk, sub,
+               fx_hbm, fu_hbm, gx_hbm, gu_hbm, gxx_hbm, guu_hbm, gux_hbm,
+               gxxT_ref, gxT_ref, reg_ref,
+               K_ref, k_ref, Qx_ref, Qu_ref, p_ref, ok_ref,
+               fx_s, fu_s, gx_s, gu_s, gxx_s, guu_s, gux_s, sems):
+    i = pl.program_id(0)
+    row0 = pl.multiple_of(i * sub, sub)
+    nchunks = Tp // chunk
+    hbms = [fx_hbm, fu_hbm, gx_hbm, gu_hbm, gxx_hbm, guu_hbm, gux_hbm]
+    bufs = [fx_s, fu_s, gx_s, gu_s, gxx_s, guu_s, gux_s]
+
+    def dma(slot, c, kk):
+        h, b = hbms[kk], bufs[kk]
+        mid = h.ndim - 3  # middle (matrix/vector) dims between T and (S, L)
+        idx = (
+            (pl.ds(c * chunk, chunk),)
+            + (slice(None),) * mid
+            + (pl.ds(row0, sub), slice(None))
+        )
+        return pltpu.make_async_copy(h.at[idx], b.at[slot], sems.at[slot, kk])
+
+    def start_all(slot, c):
+        for kk in range(7):
+            dma(slot, c, kk).start()
+
+    def wait_all(slot, c):
+        for kk in range(7):
+            dma(slot, c, kk).wait()
+
+    start_all(0, nchunks - 1)
+
+    reg = reg_ref[0]
+    P0 = gxxT_ref[:]
+    p0 = gxT_ref[:]
+    ok0 = jnp.ones_like(reg)
+
+    def chunk_body(ci, carry):
+        P, p, ok = carry
+        c = nchunks - 1 - ci
+        slot = ci % 2
+
+        @pl.when(ci + 1 < nchunks)
+        def _():
+            start_all(1 - slot, c - 1)
+
+        wait_all(slot, c)
+
+        for j in range(chunk - 1, -1, -1):
+            fx = fx_s[slot, j]
+            fu = fu_s[slot, j]
+            gx = gx_s[slot, j]
+            gu = gu_s[slot, j]
+            gxx = gxx_s[slot, j]
+            guu = guu_s[slot, j]
+            gux = gux_s[slot, j]
+
+            fxT = _t(fx)
+            fuT = _t(fu)
+            Qx = gx + _mv(fxT, p)
+            Qu = gu + _mv(fuT, p)
+            fxTP = _mm(fxT, P)
+            fuTP = _mm(fuT, P)
+            Qxx = gxx + _mm(fxTP, fx)
+            Quu = guu + _mm(fuTP, fu)
+            Qux = gux + _mm(fuTP, fx)
+
+            Quu_reg = [
+                [Quu[a, b] + (reg if a == b else 0.0) for b in range(m)]
+                for a in range(m)
+            ]
+            Lf = _chol(
+                jnp.stack([jnp.stack(r, axis=0) for r in Quu_reg], axis=0), m
+            )
+            ok_t = ok
+            for a in range(m):
+                d = Lf[a][a]
+                ok_t = ok_t * (jnp.isfinite(d) & (d > 0.0)).astype(ok_t.dtype)
+            ok = ok_t
+
+            cols = [Qux[:, jj] for jj in range(n)] + [Qu]
+            sols = _chol_solve(Lf, cols, m)
+            K = -jnp.stack(sols[:n], axis=1)
+            kff = -sols[n]
+
+            KT = _t(K)
+            QuxT = _t(Qux)
+            QuuK = _mm(Quu, K)
+            P = Qxx + _mm(KT, QuuK) + _mm(KT, Qux) + _mm(QuxT, K)
+            P = 0.5 * (P + _t(P))
+            p = Qx + _mv(_t(QuuK), kff) + _mv(KT, Qu) + _mv(QuxT, kff)
+
+            t = c * chunk + j
+            K_ref[t] = K
+            k_ref[t] = kff
+            Qx_ref[t] = Qx
+            Qu_ref[t] = Qu
+            p_ref[t] = p
+        return (P, p, ok)
+
+    _, _, ok = jax.lax.fori_loop(0, nchunks, chunk_body, (P0, p0, ok0))
+    ok_ref[0] = ok
+
+
+def pad_stacks_sl(fx, fu, gx, gu, gxx, guu, gux, u_mask, chunk=DEFAULT_CHUNK):
+    """Tile-aligned [Tm1/T, *dims, S, 128] stacks -> horizon-padded + guu
+    fixup, ready for ``backward_pass_multiref``.  gx/gxx include the terminal
+    row; returns (stacks_Tm1..., gxxT, gxT, meta)."""
+    Tm1, n = fx.shape[0], fx.shape[1]
+    m = fu.shape[2]
+    S_all, Lw = fx.shape[-2], fx.shape[-1]
+    dtype = fx.dtype
+    Tp = _round_up(Tm1, chunk)
+
+    um = u_mask.astype(dtype)                                   # [Tm1, m]
+    guu = guu + (jnp.eye(m, dtype=dtype)[None] * (1.0 - um)[:, None, :])[
+        ..., None, None
+    ]
+
+    def padT(a, fill_eye=False):
+        if Tp == Tm1:
+            return a
+        if fill_eye:
+            d = a.shape[1]
+            pad = jnp.broadcast_to(
+                jnp.eye(d, dtype=dtype)[None, :, :, None, None],
+                (Tp - Tm1,) + a.shape[1:],
+            )
+        else:
+            pad = jnp.zeros((Tp - Tm1,) + a.shape[1:], dtype)
+        return jnp.concatenate([a, pad], axis=0)
+
+    out = (
+        padT(fx, fill_eye=True),
+        padT(fu),
+        padT(gx[:-1]),
+        padT(gu),
+        padT(gxx[:-1]),
+        padT(guu, fill_eye=True),
+        padT(gux),
+    )
+    meta = dict(
+        B=S_all * Lw, Bp=S_all * Lw, Tm1=Tm1, Tp=Tp, n=n, m=m, S_all=S_all
+    )
+    return out + (gxx[-1], gx[-1], meta)
+
+
+def backward_pass_multiref(stacks, gxxT, gxT, reg_sl, meta,
+                           block_b=DEFAULT_BLOCK_B, chunk=DEFAULT_CHUNK,
+                           interpret: bool = False):
+    """v4 entry: ``stacks`` = (fx, fu, gx, gu, gxx, guu, gux) each
+    [Tp, *dims, S_all, 128] (from ``pad_stacks_sl``); ``reg_sl`` is
+    [S_all, 128].  Returns batch-trailing outputs like backward_pass_packed.
+    """
+    Tm1, Tp = meta["Tm1"], meta["Tp"]
+    n, m, S_all = meta["n"], meta["m"], meta["S_all"]
+    dtype = stacks[0].dtype
+    sub = block_b // 128
+    Bp = S_all * 128
+    assert Bp % block_b == 0, (Bp, block_b)
+    grid = (Bp // block_b,)
+
+    def vspec(*dims):
+        nd = len(dims)
+        return pl.BlockSpec(
+            dims + (sub, 128),
+            (lambda i, _nd=nd: (0,) * _nd + (i, 0)),
+            memory_space=pltpu.VMEM,
+        )
+
+    out_shape = (
+        jax.ShapeDtypeStruct((Tp, m, n, S_all, 128), dtype),
+        jax.ShapeDtypeStruct((Tp, m, S_all, 128), dtype),
+        jax.ShapeDtypeStruct((Tp, n, S_all, 128), dtype),
+        jax.ShapeDtypeStruct((Tp, m, S_all, 128), dtype),
+        jax.ShapeDtypeStruct((Tp, n, S_all, 128), dtype),
+        jax.ShapeDtypeStruct((1, S_all, 128), dtype),
+    )
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 7 + [
+        vspec(n, n), vspec(n), vspec(1),
+    ]
+    out_specs = (
+        vspec(Tp, m, n), vspec(Tp, m), vspec(Tp, n), vspec(Tp, m),
+        vspec(Tp, n), vspec(1),
+    )
+    scratch = [
+        pltpu.VMEM((2, chunk, n, n, sub, 128), dtype),   # fx
+        pltpu.VMEM((2, chunk, n, m, sub, 128), dtype),   # fu
+        pltpu.VMEM((2, chunk, n, sub, 128), dtype),      # gx
+        pltpu.VMEM((2, chunk, m, sub, 128), dtype),      # gu
+        pltpu.VMEM((2, chunk, n, n, sub, 128), dtype),   # gxx
+        pltpu.VMEM((2, chunk, m, m, sub, 128), dtype),   # guu
+        pltpu.VMEM((2, chunk, m, n, sub, 128), dtype),   # gux
+        pltpu.SemaphoreType.DMA((2, 7)),
+    ]
+    kernel = functools.partial(_kernel_mr, n, m, Tp, chunk, sub)
+    K_t, k_t, Qx_t, Qu_t, p_t, ok_t = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*stacks, gxxT, gxT, reg_sl[None])
+    return (
+        K_t[:Tm1], k_t[:Tm1], Qx_t[:Tm1], Qu_t[:Tm1], p_t[:Tm1], ok_t[0]
+    )

@@ -29,21 +29,28 @@ from ..core.spec import ProblemSpec
 from . import packed_backward as pk
 
 
-def _bt_tmap(fn):
-    """vmap a per-(x,u,w) function over [t, :, B] batch-trailing arrays."""
-    return jax.vmap(jax.vmap(fn, in_axes=-1, out_axes=-1), in_axes=0, out_axes=0)
+def _bt2_tmap(fn):
+    """vmap a per-(x,u,w) function over [t, :, S, 128] SL-layout arrays
+    (t on axis 0, batch split over the two trailing tile axes)."""
+    return jax.vmap(
+        jax.vmap(
+            jax.vmap(fn, in_axes=-1, out_axes=-1), in_axes=-1, out_axes=-1
+        ),
+        in_axes=0,
+        out_axes=0,
+    )
 
 
-def _grouped_bt(fns, comb_key, rows, args):
-    """Batch-trailing analog of derivatives._grouped over combined stage-type
-    keys; args are [rows, :, B] arrays."""
+def _grouped_bt2(fns, comb_key, rows, args):
+    """SL-layout analog of derivatives._grouped over combined stage-type
+    keys; args are [rows, :, S, 128] arrays."""
     uniq = np.unique(comb_key)
     if len(uniq) == 1:
-        return _bt_tmap(fns[int(uniq[0])])(*args)
+        return _bt2_tmap(fns[int(uniq[0])])(*args)
     outs = None
     for key in uniq:
         idx = np.nonzero(comb_key == key)[0]
-        res = _bt_tmap(fns[int(key)])(*(a[idx] for a in args))
+        res = _bt2_tmap(fns[int(key)])(*(a[idx] for a in args))
         if outs is None:
             outs = jax.tree.map(
                 lambda r: jnp.zeros((rows,) + r.shape[1:], r.dtype), res
@@ -136,12 +143,29 @@ def make_derive_backward(spec: ProblemSpec, options, interpret: bool = False):
     cT = int(spec.con_tidx[-1])
 
     def batched(xs, us, ws, duals, penalty, c, reg):
-        """xs [B,T,nx] etc -> batch-leading outputs."""
+        """xs [B,T,nx] etc -> batch-leading outputs.
+
+        Everything runs in tile-aligned "SL" layout [T, *dims, S, 128]
+        (batch split into sublane x lane): the derivative stacks are BORN in
+        the layout the multiref kernel consumes, so no stack is ever
+        re-tiled (pack_stacks_bt's concat re-tiling cost ~4ms at B=4096 —
+        50x the kernel itself).
+        """
         B = xs.shape[0]
         dtype = xs.dtype
-        to_bt = lambda a: jnp.moveaxis(a, 0, -1)
-        xs_t, us_t, ws_t = to_bt(xs), to_bt(us), to_bt(ws)
-        stacks = _grouped_bt(
+        Bp = pk._round_up(B, 1024)
+        S = Bp // 128
+
+        def to_sl(a):
+            """[B, leading...] -> [leading..., S, 128] (one small transpose
+            of the trajectory-sized inputs; the 76MB stacks never move)."""
+            if Bp != B:
+                a = jnp.pad(a, [(0, Bp - B)] + [(0, 0)] * (a.ndim - 1))
+            a = a.reshape((S, 128) + a.shape[1:])
+            return jnp.moveaxis(a, (0, 1), (-2, -1))
+
+        xs_t, us_t, ws_t = to_sl(xs), to_sl(us), to_sl(ws)
+        stacks = _grouped_bt2(
             fns, comb_key, Tm1, (xs_t[:-1], us_t, ws_t[:-1])
         )
         if nc > 0:
@@ -150,48 +174,65 @@ def make_derive_backward(spec: ProblemSpec, options, interpret: bool = False):
             fx, fu, gx_s, gu, gxx_s, guu, gux = stacks
 
         # terminal stage (u = 0)
-        u0 = jnp.zeros((nu, B), dtype)
-        bmap = lambda fn: jax.vmap(fn, in_axes=-1, out_axes=-1)
+        u0 = jnp.zeros((nu, S, 128), dtype)
+        bmap = lambda fn: jax.vmap(
+            jax.vmap(fn, in_axes=-1, out_axes=-1), in_axes=-1, out_axes=-1
+        )
         gxT, _ = bmap(spec.cost_grad[gT])(xs_t[-1], u0, ws_t[-1])
         gxxT, _, _ = bmap(spec.cost_hess[gT])(xs_t[-1], u0, ws_t[-1])
-        gx = jnp.concatenate([gx_s, gxT[None]], axis=0)        # [T,nx,B]
-        gxx = jnp.concatenate([gxx_s, gxxT[None]], axis=0)     # [T,nx,nx,B]
+        gx = jnp.concatenate([gx_s, gxT[None]], axis=0)     # [T,nx,S,L]
+        gxx = jnp.concatenate([gxx_s, gxxT[None]], axis=0)  # [T,nx,nx,S,L]
 
-        # AL Gauss-Newton augmentation, batch-trailing
+        # AL Gauss-Newton augmentation in SL layout
         if nc > 0:
             cxT, _ = bmap(spec.con_jac[cT])(xs_t[-1], u0, ws_t[-1])
-            cx = jnp.concatenate([cx_s, cxT[None]], axis=0)    # [T,nc,nx,B]
-            c_t = to_bt(c)                                     # [T,nc,B]
-            lam = to_bt(duals)
-            rho = to_bt(penalty)
-            ineq = jnp.asarray(ineq_np)[:, :, None]
+            cx = jnp.concatenate([cx_s, cxT[None]], axis=0)  # [T,nc,nx,S,L]
+            c_t = to_sl(c)                                   # [T,nc,S,L]
+            lam = to_sl(duals)
+            rho = to_sl(penalty)
+            ineq = jnp.asarray(ineq_np)[:, :, None, None]
             inactive = ineq & (c_t < 0.0) & (lam == 0.0)
             a = jnp.where(inactive, 0.0, 1.0).astype(dtype)
             irho = rho * a
             ctmp = lam + irho * c_t
-            gx = gx + jnp.einsum("tcnB,tcB->tnB", cx, ctmp)
-            gxx = gxx + jnp.einsum("tciB,tcB,tcjB->tijB", cx, irho, cx)
-            gu = gu + jnp.einsum("tcmB,tcB->tmB", cu, ctmp[:-1])
-            guu = guu + jnp.einsum("tciB,tcB,tcjB->tijB", cu, irho[:-1], cu)
-            gux = gux + jnp.einsum(
-                "tciB,tcB,tcjB->tijB", cu, irho[:-1], cx[:-1]
+            # broadcast-multiply-reduce, NOT einsum: a dot_general with a
+            # 4-wide contraction and (t, sublane, lane) batch dims relayouts
+            # everything and dominates the pipeline (round-1 lesson,
+            # ops/linalg_small.py); the reduce-of-product form fuses.
+            cxr = cx * irho[:, :, None]                      # [t,c,i,a,b]
+            cur = cu * irho[:-1, :, None]
+            gx = gx + jnp.sum(cx * ctmp[:, :, None], axis=1)
+            gxx = gxx + jnp.sum(
+                cxr[:, :, :, None] * cx[:, :, None, :], axis=1
+            )
+            gu = gu + jnp.sum(cu * ctmp[:-1, :, None], axis=1)
+            guu = guu + jnp.sum(
+                cur[:, :, :, None] * cu[:, :, None, :], axis=1
+            )
+            gux = gux + jnp.sum(
+                cur[:, :, :, None] * cx[:-1, :, None, :], axis=1
             )
 
-        # pack (stacks are already batch-trailing: reshape is layout-free)
-        packed, gxxT_l, gxT_l, meta = pk.pack_stacks_bt(
-            fx, fu, gx, gu, gxx, guu, gux,
-            jnp.asarray(u_mask_np),
+        kernel_stacks = pk.pad_stacks_sl(
+            fx, fu, gx, gu, gxx, guu, gux, jnp.asarray(u_mask_np)
         )
+        stacks_p, gxxT_l, gxT_l, meta = (
+            kernel_stacks[:7], kernel_stacks[7], kernel_stacks[8],
+            kernel_stacks[9],
+        )
+        meta = dict(meta, B=B, Bp=Bp)
 
         # adaptive-regularization retry around the kernel (same policy as
         # ops/backward.py::backward_pass, batched explicitly)
         reg = reg.astype(dtype)
 
         def run(reg_vec):
-            outs = pk.backward_pass_packed(
-                packed, gxxT_l, gxT_l, reg_vec, meta, interpret=interpret
+            reg_sl = (
+                jnp.pad(reg_vec, (0, Bp - B)) if Bp != B else reg_vec
+            ).reshape(S, 128)
+            return pk.backward_pass_multiref(
+                stacks_p, gxxT_l, gxT_l, reg_sl, meta, interpret=interpret
             )
-            return outs
 
         def cond(s):
             i, _, _, ok, _ = s
@@ -220,37 +261,32 @@ def make_derive_backward(spec: ProblemSpec, options, interpret: bool = False):
         _, _, reg_used, ok, outs = jax.lax.while_loop(cond, body, state)
         K_t, k_t, Qx_t, Qu_t, p_t, _ok_t = outs
 
-        # per-instance scalars, computed batch-trailing then flattened
-        x_m = jnp.asarray(x_mask_np[:-1], dtype)[:, :, None]   # [Tm1,nx,1]
-        u_m = jnp.asarray(u_mask_np, dtype)[:, :, None]
-        Qx_b = pk.unflatten_bt(Qx_t, meta)                     # [Tm1,nx,B]
-        Qu_b = pk.unflatten_bt(Qu_t, meta)
-        p_b = pk.unflatten_bt(p_t, meta)
-        K_b = pk.unflatten_bt(K_t, meta)                       # [Tm1,nu,nx,B]
-        k_b = pk.unflatten_bt(k_t, meta)
-        lx = jnp.abs(Qx_b - p_b) * x_m
-        lu = jnp.abs(Qu_b) * u_m
-        grad_norm = jnp.maximum(
+        # per-instance scalars, computed in SL layout then flattened
+        x_m = jnp.asarray(x_mask_np[:-1], dtype)[:, :, None, None]
+        u_m = jnp.asarray(u_mask_np, dtype)[:, :, None, None]
+        lx = jnp.abs(Qx_t - p_t) * x_m
+        lu = jnp.abs(Qu_t) * u_m
+        grad_sl = jnp.maximum(
             jnp.max(lx, axis=(0, 1)), jnp.max(lu, axis=(0, 1))
-        )
+        )                                                     # [S, L]
 
-        # Armijo slope via the closed-loop sensitivity recursion,
-        # batch-trailing scan (ops/forward.py::trajectory_sensitivities)
+        # Armijo slope via the closed-loop sensitivity recursion (SL scan)
         def step(zx, inp):
             fx_t, fu_t, K_tt, k_tt = inp
-            zu = k_tt + jnp.einsum("mnB,nB->mB", K_tt, zx)
+            # broadcast-multiply-reduce (see the AL-augmentation note)
+            zu = k_tt + jnp.sum(K_tt * zx[None], axis=1)
             zx_next = (
-                jnp.einsum("ijB,jB->iB", fx_t, zx)
-                + jnp.einsum("imB,mB->iB", fu_t, zu)
+                jnp.sum(fx_t * zx[None], axis=1)
+                + jnp.sum(fu_t * zu[None], axis=1)
             )
             return zx_next, (zx, zu)
 
-        zx0 = jnp.zeros((nx, B), dtype)
+        zx0 = jnp.zeros((nx, S, 128), dtype)
         _, (zx, zu) = jax.lax.scan(
-            step, zx0, (fx, fu, K_b, k_b), unroll=options.scan_unroll
+            step, zx0, (fx, fu, K_t, k_t), unroll=options.scan_unroll
         )
-        slope = jnp.sum((Qx_b - p_b) * zx, axis=(0, 1)) + jnp.sum(
-            Qu_b * zu, axis=(0, 1)
+        slope_sl = jnp.sum((Qx_t - p_t) * zx, axis=(0, 1)) + jnp.sum(
+            Qu_t * zu, axis=(0, 1)
         )
 
         # reg decay for the next iteration (ops/backward.py policy)
@@ -260,9 +296,16 @@ def make_derive_backward(spec: ProblemSpec, options, interpret: bool = False):
             reg_used / options.regularization_scale,
         )
 
-        to_bl = lambda a: jnp.moveaxis(a, -1, 0)
+        def from_sl(a):
+            """[leading..., S, 128] -> [B, leading...]"""
+            a = jnp.moveaxis(a, (-2, -1), (0, 1))
+            return a.reshape((Bp,) + a.shape[2:])[:B]
+
         return (
-            to_bl(K_b), to_bl(k_b), slope, grad_norm, reg_next_carry
+            from_sl(K_t), from_sl(k_t),
+            slope_sl.reshape(Bp)[:B],
+            grad_sl.reshape(Bp)[:B],
+            reg_next_carry,
         )
 
     @jax.custom_batching.custom_vmap
