@@ -100,6 +100,16 @@ class Options:
     #           scan under vmap (throughput-bound batches) — measured regimes
     backward_pass: str = "scan"
 
+    # --- new: batched-solver implementation selector ---
+    # "auto": on TPU with backward_pass="packed", no traces/live_progress and
+    #         the fused AL loop, batched solves run the SL-layout solver
+    #         (core/solve_sl.py) — the whole loop tile-aligned
+    #         [T, *dims, S, 128]; everything else vmaps the per-instance
+    #         solve (identical per-instance semantics either way)
+    # "vmap": always vmap the per-instance solve
+    # "sl":   require the SL solver (raises if options are incompatible)
+    batched_solver: str = "auto"
+
     def __post_init__(self):
         if self.line_search not in ("armijo", "none"):
             raise ValueError(f"unknown line_search {self.line_search!r}")
@@ -107,6 +117,8 @@ class Options:
             "scan", "associative", "pallas", "packed", "auto"
         ):
             raise ValueError(f"unknown backward_pass {self.backward_pass!r}")
+        if self.batched_solver not in ("auto", "vmap", "sl"):
+            raise ValueError(f"unknown batched_solver {self.batched_solver!r}")
 
     @property
     def num_step_sizes(self) -> int:

@@ -59,20 +59,8 @@ def _grouped_bt2(fns, comb_key, rows, args):
     return outs
 
 
-def make_derive_backward(spec: ProblemSpec, options, interpret: bool = False):
-    """Build the custom-vmap derive+backward+slope dispatch.
-
-    Per-instance signature:
-        (xs [T,nx], us [T-1,nu], ws [T,npar], duals [T,nc], penalty [T,nc],
-         c [T,nc], reg scalar)
-          -> (K [T-1,nu,nx], k [T-1,nu], slope scalar, grad_norm scalar,
-              reg_next scalar)
-
-    Unbatched calls use the existing scan path; under vmap the batched rule
-    runs the batch-trailing pipeline + chunked pallas kernel (TPU; interpret
-    mode in tests).  Falls back to vmapping the per-instance path on other
-    backends.
-    """
+def _build(spec: ProblemSpec, options, interpret: bool = False):
+    """Construct (single, batched_sl, batched) for this spec/options."""
     from . import al as al_ops
     from . import derivatives as dv
     from .backward import backward_pass
@@ -142,29 +130,22 @@ def make_derive_backward(spec: ProblemSpec, options, interpret: bool = False):
     gT = int(spec.cost_tidx[-1])
     cT = int(spec.con_tidx[-1])
 
-    def batched(xs, us, ws, duals, penalty, c, reg):
-        """xs [B,T,nx] etc -> batch-leading outputs.
+    def batched_sl(xs_t, us_t, ws_t, lam, rho, c_t, reg_sl, valid=None):
+        """SL-native core: all arguments tile-aligned [T, *dims, S, 128]
+        (batch split into sublane x lane), ``reg_sl`` [S, 128].
 
-        Everything runs in tile-aligned "SL" layout [T, *dims, S, 128]
-        (batch split into sublane x lane): the derivative stacks are BORN in
-        the layout the multiref kernel consumes, so no stack is ever
-        re-tiled (pack_stacks_bt's concat re-tiling cost ~4ms at B=4096 —
-        50x the kernel itself).
+        The derivative stacks are BORN in the layout the multiref kernel
+        consumes, so no stack is ever re-tiled (pack_stacks_bt's concat
+        re-tiling cost ~4ms at B=4096 — 50x the kernel itself).  ``valid``
+        (bool [S, 128] or None) marks real batch lanes: padding lanes are
+        excluded from the regularization-retry convergence test so garbage
+        pads can never force extra kernel sweeps.
+
+        Returns SL outputs (K [Tm1,nu,nx,S,L], k [Tm1,nu,S,L],
+        slope [S,L], grad_norm [S,L], reg_next [S,L]).
         """
-        B = xs.shape[0]
-        dtype = xs.dtype
-        Bp = pk._round_up(B, 1024)
-        S = Bp // 128
-
-        def to_sl(a):
-            """[B, leading...] -> [leading..., S, 128] (one small transpose
-            of the trajectory-sized inputs; the 76MB stacks never move)."""
-            if Bp != B:
-                a = jnp.pad(a, [(0, Bp - B)] + [(0, 0)] * (a.ndim - 1))
-            a = a.reshape((S, 128) + a.shape[1:])
-            return jnp.moveaxis(a, (0, 1), (-2, -1))
-
-        xs_t, us_t, ws_t = to_sl(xs), to_sl(us), to_sl(ws)
+        dtype = xs_t.dtype
+        S = xs_t.shape[-2]
         stacks = _grouped_bt2(
             fns, comb_key, Tm1, (xs_t[:-1], us_t, ws_t[:-1])
         )
@@ -187,9 +168,6 @@ def make_derive_backward(spec: ProblemSpec, options, interpret: bool = False):
         if nc > 0:
             cxT, _ = bmap(spec.con_jac[cT])(xs_t[-1], u0, ws_t[-1])
             cx = jnp.concatenate([cx_s, cxT[None]], axis=0)  # [T,nc,nx,S,L]
-            c_t = to_sl(c)                                   # [T,nc,S,L]
-            lam = to_sl(duals)
-            rho = to_sl(penalty)
             ineq = jnp.asarray(ineq_np)[:, :, None, None]
             inactive = ineq & (c_t < 0.0) & (lam == 0.0)
             a = jnp.where(inactive, 0.0, 1.0).astype(dtype)
@@ -220,18 +198,14 @@ def make_derive_backward(spec: ProblemSpec, options, interpret: bool = False):
             kernel_stacks[:7], kernel_stacks[7], kernel_stacks[8],
             kernel_stacks[9],
         )
-        meta = dict(meta, B=B, Bp=Bp)
 
         # adaptive-regularization retry around the kernel (same policy as
         # ops/backward.py::backward_pass, batched explicitly)
-        reg = reg.astype(dtype)
+        reg_sl = reg_sl.astype(dtype)
 
-        def run(reg_vec):
-            reg_sl = (
-                jnp.pad(reg_vec, (0, Bp - B)) if Bp != B else reg_vec
-            ).reshape(S, 128)
+        def run(reg_run):
             return pk.backward_pass_multiref(
-                stacks_p, gxxT_l, gxT_l, reg_sl, meta, interpret=interpret
+                stacks_p, gxxT_l, gxT_l, reg_run, meta, interpret=interpret
             )
 
         def cond(s):
@@ -242,7 +216,9 @@ def make_derive_backward(spec: ProblemSpec, options, interpret: bool = False):
             i, reg_try, reg_used, ok, _ = s
             reg_run = jnp.where(ok, reg_used, reg_try)
             outs = run(reg_run)
-            ok_now = pk.ok_vector(outs, meta)
+            ok_now = outs[-1] > 0.5
+            if valid is not None:
+                ok_now = ok_now | ~valid
             reg_next = jnp.clip(
                 jnp.maximum(reg_run * options.regularization_scale,
                             options.regularization_min),
@@ -253,10 +229,11 @@ def make_derive_backward(spec: ProblemSpec, options, interpret: bool = False):
                     reg_run, ok_now, outs)
 
         outs0 = jax.tree.map(
-            jnp.zeros_like, jax.eval_shape(run, reg)
+            jnp.zeros_like, jax.eval_shape(run, reg_sl)
         )
         state = (
-            jnp.asarray(0), reg, reg, jnp.zeros((B,), bool), outs0
+            jnp.asarray(0), reg_sl, reg_sl,
+            jnp.zeros(reg_sl.shape, bool), outs0,
         )
         _, _, reg_used, ok, outs = jax.lax.while_loop(cond, body, state)
         K_t, k_t, Qx_t, Qu_t, p_t, _ok_t = outs
@@ -296,17 +273,74 @@ def make_derive_backward(spec: ProblemSpec, options, interpret: bool = False):
             reg_used / options.regularization_scale,
         )
 
+        return K_t, k_t, slope_sl, grad_sl, reg_next_carry
+
+    def batched(xs, us, ws, duals, penalty, c, reg):
+        """Batch-leading wrapper: [B, T, nx] etc in, batch-leading out.
+        One small transpose per trajectory-sized array at each boundary;
+        the 76MB derivative stacks never move (they are born SL inside
+        ``batched_sl``)."""
+        B = xs.shape[0]
+        Bp = pk._round_up(B, 1024)
+        S = Bp // 128
+
+        def to_sl(a):
+            if Bp != B:
+                a = jnp.pad(a, [(0, Bp - B)] + [(0, 0)] * (a.ndim - 1))
+            a = a.reshape((S, 128) + a.shape[1:])
+            return jnp.moveaxis(a, (0, 1), (-2, -1))
+
         def from_sl(a):
-            """[leading..., S, 128] -> [B, leading...]"""
             a = jnp.moveaxis(a, (-2, -1), (0, 1))
             return a.reshape((Bp,) + a.shape[2:])[:B]
 
+        reg_sl = (jnp.pad(reg, (0, Bp - B)) if Bp != B else reg).reshape(
+            S, 128
+        )
+        valid = None
+        if Bp != B:
+            valid = (jnp.arange(Bp) < B).reshape(S, 128)
+        K_t, k_t, slope_sl, grad_sl, reg_next = batched_sl(
+            to_sl(xs), to_sl(us), to_sl(ws), to_sl(duals), to_sl(penalty),
+            to_sl(c), reg_sl, valid=valid,
+        )
         return (
             from_sl(K_t), from_sl(k_t),
             slope_sl.reshape(Bp)[:B],
             grad_sl.reshape(Bp)[:B],
-            reg_next_carry,
+            reg_next.reshape(Bp)[:B],
         )
+
+    return single, batched_sl, batched
+
+
+def make_derive_backward_sl(spec: ProblemSpec, options, interpret: bool = False):
+    """SL-native derive+backward+slope for the SL batched solver
+    (core/solve_sl.py).  Signature:
+        (xs [T,nx,S,L], us [T-1,nu,S,L], ws [T,npar,S,L], duals [T,nc,S,L],
+         penalty [T,nc,S,L], c [T,nc,S,L], reg [S,L], valid=None)
+          -> (K [T-1,nu,nx,S,L], k [T-1,nu,S,L], slope [S,L],
+              grad_norm [S,L], reg_next [S,L])
+    """
+    _, batched_sl, _ = _build(spec, options, interpret)
+    return batched_sl
+
+
+def make_derive_backward(spec: ProblemSpec, options, interpret: bool = False):
+    """Build the custom-vmap derive+backward+slope dispatch.
+
+    Per-instance signature:
+        (xs [T,nx], us [T-1,nu], ws [T,npar], duals [T,nc], penalty [T,nc],
+         c [T,nc], reg scalar)
+          -> (K [T-1,nu,nx], k [T-1,nu], slope scalar, grad_norm scalar,
+              reg_next scalar)
+
+    Unbatched calls use the existing scan path; under vmap the batched rule
+    runs the batch-trailing pipeline + chunked pallas kernel (TPU; interpret
+    mode in tests).  Falls back to vmapping the per-instance path on other
+    backends.
+    """
+    single, _, batched = _build(spec, options, interpret)
 
     @jax.custom_batching.custom_vmap
     def dispatch(xs, us, ws, duals, penalty, c, reg):

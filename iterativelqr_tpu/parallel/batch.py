@@ -23,11 +23,24 @@ from ..core.solve import Solution, make_solve_fn
 from ..core.spec import ProblemSpec
 
 
+def _sl_eligible(options: Options, callback) -> bool:
+    """Options the SL-layout batched solver (core/solve_sl.py) supports."""
+    return (
+        options.backward_pass == "packed"
+        and options.fused_al_loop
+        and not options.record_traces
+        and not options.live_progress
+        and callback is None
+        and options.line_search in ("armijo", "none")
+    )
+
+
 def make_batched_solve_fn(
     spec: ProblemSpec,
     options: Options = Options(),
     callback: Optional[Callable] = None,
     in_axes=(0, 0, 0),
+    interpret: bool = False,
 ):
     """Build ``(xs_init [B,T,nx], us_init [B,T-1,nu], ws [B,T,npar]) -> Solution``
     with a leading batch axis on every Solution leaf.
@@ -35,7 +48,39 @@ def make_batched_solve_fn(
     ``in_axes`` follows vmap semantics over (xs_init, us_init, ws); pass None
     for an argument shared across the batch (e.g. one parameter trajectory for
     all initial conditions).
+
+    Implementation is selected by ``options.batched_solver``: the SL-layout
+    solver (core/solve_sl.py — the whole loop tile-aligned ``[T,*dims,S,128]``)
+    when eligible on TPU, else ``jax.vmap`` of the per-instance solve.
+    ``interpret`` runs the SL solver's pallas kernel in interpreter mode
+    (CPU tests only).
     """
+    use_sl = options.batched_solver == "sl" or (
+        options.batched_solver == "auto"
+        and _sl_eligible(options, callback)
+        and (interpret or jax.default_backend() == "tpu")
+    )
+    if use_sl:
+        from ..core.solve_sl import make_batched_solve_sl
+
+        solve_sl = make_batched_solve_sl(spec, options, interpret=interpret)
+
+        def solve_batch(xs_init, us_init, ws) -> Solution:
+            args = [xs_init, us_init, ws]
+            # honor vmap-style in_axes: broadcast unbatched (None) arguments
+            B = None
+            for a, ax in zip(args, in_axes):
+                if ax is not None:
+                    B = a.shape[0]
+            for i, ax in enumerate(in_axes):
+                if ax is None:
+                    args[i] = jnp.broadcast_to(
+                        args[i][None], (B,) + args[i].shape
+                    )
+            return solve_sl(*args)
+
+        return solve_batch
+
     solve = make_solve_fn(spec, options, callback)
     return jax.vmap(solve, in_axes=in_axes)
 

@@ -46,6 +46,7 @@ def make_sharded_solve_fn(
     callback: Optional[Callable] = None,
     axis_name: str = "batch",
     with_stats: bool = True,
+    interpret: bool = False,
 ):
     """Build a jit-compiled, mesh-sharded batched solve.
 
@@ -56,7 +57,29 @@ def make_sharded_solve_fn(
     collectives.
     """
     mesh = default_mesh(axis_name=axis_name) if mesh is None else mesh
-    batched = make_batched_solve_fn(spec, options, callback)
+    batched = make_batched_solve_fn(spec, options, callback, interpret=interpret)
+    from .batch import _sl_eligible
+
+    if options.batched_solver == "sl" or (
+        options.batched_solver == "auto"
+        and _sl_eligible(options, callback)
+        and (interpret or jax.default_backend() == "tpu")
+    ):
+        # The SL solver retiles the batch to [.., S, 128]; under the SPMD
+        # partitioner that reshape would reshard (all-gather) the batch.
+        # shard_map instead runs the SL solve independently on each device's
+        # local shard — communication-free, like the per-instance math — and
+        # the BatchStats reduction below (outside the shard_map) still lowers
+        # to mesh-wide psum.
+        local = batched
+        batched = jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(axis_name), P(axis_name), P(axis_name)),
+            out_specs=P(axis_name),
+            # pallas_call's out ShapeDtypeStructs carry no vma annotation
+            check_vma=False,
+        )
     batch_sharding = NamedSharding(mesh, P(axis_name))
     replicated = NamedSharding(mesh, P())
 

@@ -1,0 +1,143 @@
+"""SL-layout batched solver (core/solve_sl.py) vs the vmap path.
+
+The SL solver runs the ENTIRE fused AL x iLQR loop tile-aligned
+``[T, *dims, S, 128]``; per-instance semantics must match vmapping the
+per-instance fused solve (same iterate sequence, stopping rules, dual-update
+points).  On CPU the packed pallas kernel runs in interpreter mode.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from iterativelqr_tpu import Options
+from iterativelqr_tpu.core.spec import build_spec
+from iterativelqr_tpu.models import acrobot, car
+from iterativelqr_tpu.ops.rollout import open_loop_rollout
+from iterativelqr_tpu.parallel.batch import make_batched_solve_fn
+
+
+def _batch(mod, T, B, u0, dtype=jnp.float32):
+    dynamics, objective, constraints, x1, xT = mod.problem(T)
+    spec = build_spec(dynamics, objective, constraints)
+    key = jax.random.PRNGKey(3)
+    x0 = jnp.zeros((B, spec.nx), dtype).at[:, : x1.shape[0]].set(
+        x1.astype(dtype)
+        + 0.02 * jax.random.normal(key, (B, x1.shape[0]), dtype)
+    )
+    us = jnp.full((B, T - 1, spec.nu), u0, dtype)
+    ws = jnp.zeros((B, T, max(spec.npar, 0)), dtype)
+    xs = jax.vmap(lambda x, u, w: open_loop_rollout(spec, x, u, w))(
+        x0, us, ws
+    )
+    return spec, xs, us, ws
+
+
+_BASE = dict(
+    record_traces=False,
+    backward_pass="packed",
+    max_iterations=12,
+    max_dual_updates=3,
+)
+
+
+@pytest.mark.parametrize("mod,T,u0", [(acrobot, 9, 0.05), (car, 8, 0.01)])
+def test_sl_solver_matches_vmap(mod, T, u0):
+    B = 4
+    spec, xs, us, ws = _batch(mod, T, B, u0)
+    # vmap reference: custom_vmap falls back to the per-instance scan path
+    # off-TPU, which the packed pipeline is already pinned against
+    ref_fn = make_batched_solve_fn(
+        spec, Options(batched_solver="vmap", **_BASE)
+    )
+    sl_fn = make_batched_solve_fn(
+        spec, Options(batched_solver="sl", **_BASE), interpret=True
+    )
+    ref = ref_fn(xs, us, ws)
+    out = sl_fn(xs, us, ws)
+    for name in ("xs", "us", "objective", "max_violation", "gradient_norm"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out, name)),
+            np.asarray(getattr(ref, name)),
+            rtol=2e-3, atol=2e-3, err_msg=name,
+        )
+    # the iterate sequence (not just the fixed point) must match
+    np.testing.assert_array_equal(
+        np.asarray(out.iterations), np.asarray(ref.iterations)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out.al_iterations), np.asarray(ref.al_iterations)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out.status), np.asarray(ref.status)
+    )
+
+
+def test_sl_solver_shared_ws_in_axes():
+    B = 3
+    spec, xs, us, ws = _batch(acrobot, 9, B, 0.05)
+    opts = Options(batched_solver="sl", **_BASE)
+    fn = make_batched_solve_fn(
+        spec, opts, in_axes=(0, 0, None), interpret=True
+    )
+    out = fn(xs, us, ws[0])
+    fn_b = make_batched_solve_fn(spec, opts, interpret=True)
+    ref = fn_b(xs, us, ws)
+    np.testing.assert_allclose(
+        np.asarray(out.xs), np.asarray(ref.xs), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_sl_requires_compatible_options():
+    spec, *_ = _batch(acrobot, 9, 2, 0.05)
+    with pytest.raises(ValueError):
+        make_batched_solve_fn(
+            spec,
+            Options(batched_solver="sl", record_traces=True,
+                    backward_pass="packed"),
+            interpret=True,
+        )
+
+
+def test_sl_sharded_matches_unsharded():
+    """SL solver under shard_map on the virtual 8-device mesh: each device
+    solves its local shard independently; result must match the unsharded
+    SL solve."""
+    from iterativelqr_tpu.parallel.shard import (
+        default_mesh,
+        make_sharded_solve_fn,
+        shard_batch,
+    )
+
+    B = 8
+    spec, xs, us, ws = _batch(acrobot, 9, B, 0.05)
+    opts = Options(
+        batched_solver="sl", record_traces=False, backward_pass="packed",
+        max_iterations=4, max_dual_updates=2,
+    )
+    mesh = default_mesh()
+    assert mesh.size == 8
+    sharded = make_sharded_solve_fn(
+        spec, opts, mesh=mesh, with_stats=True, interpret=True
+    )
+    xs_s, us_s, ws_s = shard_batch(mesh, "batch", xs, us, ws)
+    sol_s, stats = sharded(xs_s, us_s, ws_s)
+    ref = make_batched_solve_fn(spec, opts, interpret=True)(xs, us, ws)
+    np.testing.assert_allclose(
+        np.asarray(sol_s.xs), np.asarray(ref.xs), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sol_s.iterations), np.asarray(ref.iterations)
+    )
+    assert np.isfinite(float(stats.mean_objective))
+
+
+def test_auto_selects_vmap_off_tpu():
+    """auto on CPU (no interpret) must silently use the vmap path."""
+    spec, xs, us, ws = _batch(acrobot, 9, 2, 0.05)
+    fn = make_batched_solve_fn(
+        spec, Options(batched_solver="auto", **_BASE)
+    )
+    sol = fn(xs, us, ws)
+    assert sol.xs.shape[0] == 2
