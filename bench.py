@@ -254,6 +254,8 @@ def main():
                 "chips": n_chips,
                 "solved_fraction": round(solved_fraction, 4),
                 "wall_clock_s": round(dt, 4),
+                "mean_iterations": round(float(jnp.mean(sol.iterations)), 1),
+                "max_iterations": int(jnp.max(sol.iterations)),
                 "backend": devices[0].platform,
             }
         )

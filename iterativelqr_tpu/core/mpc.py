@@ -73,9 +73,14 @@ def make_mpc_controller(
       accept a barely-improved plan, while 1e-6 and tighter buys no closed-
       loop quality and triples iterations).  Pass ``None`` to keep the
       options' value.
-    * ``max_step_iterations``: optional hard per-step inner-iteration budget
-      (real-time-iteration mode).  >= 5 keeps acrobot stable; 1-2 diverges —
-      the budget bounds worst-case latency at some transient-quality cost.
+    * ``max_step_iterations``: optional hard per-step TOTAL iteration budget
+      (real-time-iteration mode), mapped to ``options.max_total_iterations``:
+      exhausting it truncates the solve without firing a dual update, so a
+      capped step degrades to a shorter warm solve.  (Mapping it to
+      ``max_iterations`` — a PER-AL-ROUND cap — was measured to diverge:
+      each truncated round still fired its mid-convergence dual ascent and
+      acrobot MPC compounded to violation 3e7 while running slower.)  The
+      budget bounds worst-case latency at some transient-quality cost.
     """
     if step_objective_tolerance is not None:
         options = dataclasses.replace(
@@ -83,7 +88,7 @@ def make_mpc_controller(
         )
     if max_step_iterations is not None:
         options = dataclasses.replace(
-            options, max_iterations=max_step_iterations
+            options, max_total_iterations=max_step_iterations
         )
     solve = make_solve_fn(spec, options, dual_warm_start=True)
     nc = spec.nc

@@ -100,6 +100,15 @@ class Options:
     #           scan under vmap (throughput-bound batches) — measured regimes
     backward_pass: str = "scan"
 
+    # --- new: hard TOTAL inner-iteration budget across all AL rounds
+    # (real-time-iteration mode; None = unlimited).  Unlike max_iterations
+    # (a PER-ROUND cap), exhausting this budget stops the solve outright —
+    # no dual update fires at the truncation point, so a capped warm-started
+    # MPC step degrades to a truncated-but-sane solve instead of compounding
+    # mid-convergence dual ascents (measured: capping via max_iterations=5
+    # diverged acrobot MPC to viol 3e7 AND ran slower than uncapped). ---
+    max_total_iterations: "int | None" = None
+
     # --- new: batched-solver implementation selector ---
     # "auto": on TPU with backward_pass="packed", no traces/live_progress and
     #         the fused AL loop, batched solves run the SL-layout solver
@@ -119,6 +128,8 @@ class Options:
             raise ValueError(f"unknown backward_pass {self.backward_pass!r}")
         if self.batched_solver not in ("auto", "vmap", "sl"):
             raise ValueError(f"unknown batched_solver {self.batched_solver!r}")
+        if self.max_total_iterations is not None and self.max_total_iterations < 1:
+            raise ValueError("max_total_iterations must be >= 1")
 
     @property
     def num_step_sizes(self) -> int:

@@ -264,7 +264,7 @@ def make_solve_fn(
             new_duals = jnp.where(stalled, duals, new_duals)
         return new_duals, new_penalty
 
-    def ilqr(xs, us, ws, duals, penalty, reg):
+    def ilqr(xs, us, ws, duals, penalty, reg, it_offset=0):
         """Inner iLQR loop, restructured for single-trace bodies.
 
         The reference order is {derive+backward before the loop; loop: forward,
@@ -293,7 +293,10 @@ def make_solve_fn(
         )
 
         def cond(s: _InnerCarry):
-            return (~s.stop) & (s.it < options.max_iterations)
+            c = (~s.stop) & (s.it < options.max_iterations)
+            if options.max_total_iterations is not None:
+                c = c & (it_offset + s.it < options.max_total_iterations)
+            return c
 
         def body(s: _InnerCarry):
             K, k, slope, grad_norm, reg = derive_and_slope(
@@ -430,6 +433,12 @@ def make_solve_fn(
             solve_done = round_end & (
                 feasible | (s.al_it + 1 >= options.max_dual_updates)
             )
+            if options.max_total_iterations is not None:
+                # budget exhausted: stop outright, suppressing the dual
+                # update a round_end would otherwise fire (see options.py)
+                solve_done = solve_done | (
+                    s.total_it + 1 >= options.max_total_iterations
+                )
             do_update = round_end & ~solve_done
 
             new_duals, new_penalty = al_transition(
@@ -553,7 +562,9 @@ def make_solve_fn(
             return (~s.stop) & (s.al_it < options.max_dual_updates)
 
         def body(s: _OuterCarry):
-            inner = ilqr(s.xs, s.us, s.ws, s.duals, s.penalty, s.reg)
+            inner = ilqr(
+                s.xs, s.us, s.ws, s.duals, s.penalty, s.reg, s.total_iters
+            )
             # break *before* the dual update when already feasible
             # (reference: src/solve.jl:113-121).  The violation and the dual
             # ascent both use constraints evaluated FRESH at the inner
@@ -564,6 +575,11 @@ def make_solve_fn(
             c_fresh = dv.constraint_values(spec, inner.xs, inner.us, s.ws)
             viol_fresh = viol_of(c_fresh)
             stop = viol_fresh <= options.constraint_tolerance
+            if options.max_total_iterations is not None:
+                # budget exhausted: stop outright, no dual update (options.py)
+                stop = stop | (
+                    s.total_iters + inner.it >= options.max_total_iterations
+                )
             if nc > 0:
                 new_duals, new_penalty = al_transition(
                     c_fresh, viol_fresh, s.duals, s.penalty, s.viol_prev

@@ -104,6 +104,11 @@ def make_batched_solve_sl(
             solve_done = round_end & (
                 feasible | (s.al_it + 1 >= o.max_dual_updates)
             )
+            if o.max_total_iterations is not None:
+                # budget exhausted: stop outright, no dual update (options.py)
+                solve_done = solve_done | (
+                    s.total_it + 1 >= o.max_total_iterations
+                )
             do_update = round_end & ~solve_done
 
             new_duals, new_pen = ops.al_transition(

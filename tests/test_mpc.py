@@ -65,3 +65,59 @@ def test_mpc_step_is_jittable_and_stable():
     a1 = step(state, x, ws).action
     a2 = step(state, x, ws).action
     np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+
+
+def test_max_total_iterations_budget():
+    """The total-iteration budget truncates the solve (both loop forms) and
+    never exceeds the cap; the reported state stays finite and consistent."""
+    from iterativelqr_tpu.core.solve import make_solve_fn
+    from iterativelqr_tpu.models import acrobot
+    from iterativelqr_tpu.ops.rollout import open_loop_rollout
+
+    T = 21
+    dynamics, objective, constraints, x1, xT = acrobot.problem(T)
+    spec = build_spec(dynamics, objective, constraints)
+    us = 0.05 * jnp.ones((T - 1, spec.nu), jnp.float64)
+    ws = jnp.zeros((T, max(spec.npar, 0)), jnp.float64)
+    xs = open_loop_rollout(spec, jnp.zeros(spec.nx, jnp.float64), us, ws)
+    for fused in (True, False):
+        full = make_solve_fn(
+            spec, Options(verbose=False, fused_al_loop=fused)
+        )(xs, us, ws)
+        assert int(full.iterations) > 4
+        capped = make_solve_fn(
+            spec,
+            Options(verbose=False, fused_al_loop=fused,
+                    max_total_iterations=4),
+        )(xs, us, ws)
+        assert int(capped.iterations) <= 4, fused
+        assert np.isfinite(float(capped.objective))
+        assert np.all(np.isfinite(np.asarray(capped.xs)))
+
+
+def test_mpc_capped_step_stays_stable():
+    """Real-time-iteration mode: a hard per-step budget must degrade
+    gracefully (bounded violation), not compound dual updates."""
+    T = 11
+    dynamics, objective, constraints, x1, xT = particle.problem(T)
+    spec = build_spec(dynamics, objective, constraints)
+    init, step = make_mpc_controller(
+        spec, Options(verbose=False), max_step_iterations=3
+    )
+    step = jax.jit(step)
+    ws = jnp.zeros((T, max(spec.npar, 0)), jnp.float64)
+    state = init(
+        jnp.zeros((T, spec.nx), jnp.float64),
+        jnp.zeros((T - 1, spec.nu), jnp.float64),
+    )
+    rng = np.random.default_rng(0)
+    x = jnp.array([0.3, -0.1])
+    f = spec.dyn_eval[0]
+    for _ in range(12):
+        out = step(state, x, ws)
+        assert int(out.solution.iterations) <= 3
+        state = out.state
+        x = f(x, out.action, ws[0]) + jnp.asarray(
+            0.002 * rng.standard_normal(spec.nx)
+        )
+    assert float(out.solution.max_violation) < 5.0e-2

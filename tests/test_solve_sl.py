@@ -100,6 +100,49 @@ def test_sl_requires_compatible_options():
         )
 
 
+def test_sl_solver_unconstrained_nc0():
+    """nc=0 (pure iLQR) through the SL solver: zero-width constraint arrays
+    must flow through the packed pipeline and AL machinery untouched."""
+    from iterativelqr_tpu.core.spec import Constraint
+    from iterativelqr_tpu.models import pendulum
+
+    T, B = 8, 2
+    dynamics, objective, _, x1, xT = pendulum.problem(T)
+    spec = build_spec(dynamics, objective, [Constraint() for _ in range(T)])
+    assert spec.nc == 0
+    key = jax.random.PRNGKey(5)
+    x0 = jnp.zeros((B, spec.nx), jnp.float32).at[:, : x1.shape[0]].set(
+        x1.astype(jnp.float32)
+        + 0.3 * jax.random.normal(key, (B, x1.shape[0]), jnp.float32)
+    )
+    us = 0.5 * jax.random.normal(
+        jax.random.PRNGKey(6), (B, T - 1, spec.nu), jnp.float32
+    )
+    ws = jnp.zeros((B, T, max(spec.npar, 0)), jnp.float32)
+    xs = jax.vmap(lambda x, u, w: open_loop_rollout(spec, x, u, w))(
+        x0, us, ws
+    )
+    base = dict(record_traces=False, backward_pass="packed",
+                max_iterations=8, max_dual_updates=2)
+    ref = make_batched_solve_fn(
+        spec, Options(batched_solver="vmap", **base)
+    )(xs, us, ws)
+    out = make_batched_solve_fn(
+        spec, Options(batched_solver="sl", **base), interpret=True
+    )(xs, us, ws)
+    assert int(np.max(np.asarray(ref.iterations))) > 1
+    np.testing.assert_array_equal(
+        np.asarray(out.iterations), np.asarray(ref.iterations)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.xs), np.asarray(ref.xs), rtol=2e-3, atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.objective), np.asarray(ref.objective),
+        rtol=2e-3, atol=2e-3,
+    )
+
+
 def test_sl_sharded_matches_unsharded():
     """SL solver under shard_map on the virtual 8-device mesh: each device
     solves its local shard independently; result must match the unsharded
