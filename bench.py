@@ -67,6 +67,19 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--quick", action="store_true", help="small batch smoke run")
     ap.add_argument(
+        "--no-compact", action="store_true",
+        help="disable straggler compaction (single monolithic while-loop "
+        "program; wall clock then rides the iteration-count tail)",
+    )
+    ap.add_argument(
+        "--chunk", type=int, default=32,
+        help="iterations per dispatch for the compaction driver",
+    )
+    ap.add_argument(
+        "--early-cap", type=int, default=None,
+        help="override Options.early_round_iteration_cap (schedule experiments)",
+    )
+    ap.add_argument(
         "--preset", choices=["tuned", "parity"], default="tuned",
         help="tuned: hot-start AL penalty schedule + 9-alpha grid + pallas "
         "backward on TPU (same tolerances, fewer iterations, solved_fraction "
@@ -123,6 +136,12 @@ def main():
             # (identical iterates; see ops/packed_pipeline.py)
             backward_pass="packed" if jax.default_backend() == "tpu" else "scan",
         )
+    if args.early_cap is not None:
+        import dataclasses
+
+        opts = dataclasses.replace(
+            opts, early_round_iteration_cap=args.early_cap
+        )
 
     dtype = jnp.float32
     key = jax.random.PRNGKey(0)
@@ -178,11 +197,50 @@ def main():
                 h.update(fh.read())
         code_tag = h.hexdigest()[:10]
 
+        # options fingerprint: bench.py itself is outside the code hash, so a
+        # preset/flag change must invalidate the artifact through the key
+        opt_tag = hashlib.sha256(repr(opts).encode()).hexdigest()[:6]
+
         cache_dir = os.path.join(os.path.dirname(__file__), "benchmarks", "cache")
-        cache_key = f"bench_acrobot_T{T}_B{B}_f32_{args.preset}_{code_tag}"
-        solve = cached_program(
-            make, cache_key, (xs, us, ws), cache_dir=cache_dir, verbose=True
+        cache_key = (
+            f"bench_acrobot_T{T}_B{B}_f32_{args.preset}_{opt_tag}_{code_tag}"
         )
+        use_compact = (
+            not args.no_compact
+            and opts.backward_pass == "packed"
+            and jax.default_backend() == "tpu"
+        )
+
+        def build_solve():
+            if use_compact:
+                # straggler compaction: the batched while-loop otherwise runs
+                # until the SLOWEST instance converges (parity: mean 72 its,
+                # max 216 — benchmarks/tail_analysis.py); the driver re-packs
+                # the live tail into a smaller batch shape mid-solve
+                from iterativelqr_tpu.core.solve_compact import (
+                    make_compacted_solve_fn,
+                )
+
+                solve_raw = make_compacted_solve_fn(
+                    spec, opts, chunk=args.chunk,
+                    cache_dir=cache_dir,
+                    cache_key=f"{cache_key}_c{args.chunk}",
+                )
+                stats_jit = jax.jit(
+                    lambda s: batch_stats(s, opts.constraint_tolerance)
+                )
+
+                def fn(xs, us, ws):
+                    sol = solve_raw(xs, us, ws)
+                    return sol, stats_jit(sol)
+
+                return fn
+            return cached_program(
+                make, cache_key, (xs, us, ws), cache_dir=cache_dir,
+                verbose=True,
+            )
+
+        solve = build_solve()
     else:
         solve = make_sharded_solve_fn(spec, opts, mesh=mesh)
         xs, us, ws = shard_batch(mesh, "batch", xs, us, ws)
@@ -223,11 +281,9 @@ def main():
             )
             import pathlib
 
-            for p in pathlib.Path(cache_dir).glob(f"{cache_key}.*.jaxprog"):
+            for p in pathlib.Path(cache_dir).glob(f"{cache_key}*.jaxprog"):
                 p.unlink()
-            solve = cached_program(
-                make, cache_key, (xs, us, ws), cache_dir=cache_dir, verbose=True
-            )
+            solve = build_solve()
             sol, stats = solve(xs, us, ws)
             jax.block_until_ready(stats)
 

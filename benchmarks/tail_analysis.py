@@ -23,6 +23,7 @@ def main():
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--horizon", type=int, default=101)
     ap.add_argument("--preset", choices=["tuned", "parity"], default="parity")
+    ap.add_argument("--early-cap", type=int, default=None)
     args = ap.parse_args()
 
     import jax
@@ -52,6 +53,9 @@ def main():
             verbose=False, record_traces=False,
             backward_pass="packed" if on_tpu else "scan",
         )
+    if args.early_cap is not None:
+        import dataclasses
+        opts = dataclasses.replace(opts, early_round_iteration_cap=args.early_cap)
 
     dtype = jnp.float32
     key = jax.random.PRNGKey(0)
@@ -76,8 +80,10 @@ def main():
                          for k in (64, 96, 128, 160, 192)},
     }))
     # what the stragglers look like
+    # worst by violation first (failures), then by iterations
+    orderv = np.argsort(-viol)
     order = np.argsort(-it)
-    for i in order[:8]:
+    for i in list(orderv[:4]) + list(order[:8]):
         print(json.dumps({
             "inst": int(i), "iters": int(it[i]), "al_rounds": int(al[i]),
             "viol": float(viol[i]), "max_penalty": float(pen[i]),

@@ -100,6 +100,27 @@ class Options:
     #           scan under vmap (throughput-bound batches) — measured regimes
     backward_pass: str = "scan"
 
+    # --- new: inexact early AL rounds (part of the adaptive schedule).
+    # Converging every INTERMEDIATE AL subproblem to the full tolerances
+    # wastes iterations refining a trajectory the next dual update is about
+    # to restructure anyway: the slowest percentile of a batched parity
+    # solve spends 41.6 iterations/round across 4-5 rounds
+    # (benchmarks/tail_analysis.py) while the bulk needs 17.8.  With a cap,
+    # a round hitting this many inner iterations is TRUNCATED as a pure
+    # penalty-continuation step: the penalty grows (plain scaling_penalty),
+    # but no dual ascent fires (ascending from an unconverged subproblem
+    # writes garbage multipliers — measured batch failures) and the round
+    # does not count against max_dual_updates (burning the dual budget on
+    # truncations stranded the hardest 0.05% of a 4096 batch).  Rounds that
+    # converge before the cap behave exactly as without it; the FIRST round
+    # (lambda=0, rho=rho0 — it establishes the nominal trajectory) and the
+    # last possible dual round always get the full max_iterations budget, and
+    # a global max_iterations*max_dual_updates bound (the uncapped
+    # algorithm's own worst case) guarantees termination.  Exit criteria
+    # and tolerances are unchanged.  None = every round runs to
+    # max_iterations (exact reference semantics). ---
+    early_round_iteration_cap: "int | None" = None
+
     # --- new: hard TOTAL inner-iteration budget across all AL rounds
     # (real-time-iteration mode; None = unlimited).  Unlike max_iterations
     # (a PER-ROUND cap), exhausting this budget stops the solve outright —
@@ -130,6 +151,9 @@ class Options:
             raise ValueError(f"unknown batched_solver {self.batched_solver!r}")
         if self.max_total_iterations is not None and self.max_total_iterations < 1:
             raise ValueError("max_total_iterations must be >= 1")
+        if (self.early_round_iteration_cap is not None
+                and self.early_round_iteration_cap < 1):
+            raise ValueError("early_round_iteration_cap must be >= 1")
 
     @property
     def num_step_sizes(self) -> int:

@@ -238,14 +238,28 @@ def make_solve_fn(
     def viol_of(c):
         return al_ops.max_violation(c, ineq, c_mask)
 
-    def al_transition(c_fresh, viol_fresh, duals, penalty, viol_prev):
+    def al_transition(c_fresh, viol_fresh, duals, penalty, viol_prev,
+                      truncated=False):
         """Dual/penalty update for one AL round boundary (see the
         adaptive_penalty notes in core/options.py).  Returns the POST-update
-        pair; callers gate application with jnp.where."""
+        pair; callers gate application with jnp.where.
+
+        ``truncated``: the round ended via early_round_iteration_cap, not by
+        converging.  A truncated round is a pure penalty-continuation step:
+        the penalty grows (plain x scaling_penalty — its reduced progress
+        must not read as a stall; the stalled x100 multiplier compounding
+        across truncated rounds broke 0.1% of a 4096 acrobot batch) but the
+        DUAL ASCENT IS SKIPPED — ascending from an unconverged subproblem
+        writes garbage multipliers whose linear term then drags later rounds
+        to a bad region (measured: 2/4096 instances burned all 10 rounds at
+        10x the typical objective and exited infeasible)."""
         if nc == 0:
             return duals, penalty
+        truncated = jnp.asarray(truncated)  # python-bool ~ is arithmetic
         if options.adaptive_penalty:
-            stalled = viol_fresh > options.penalty_stall_gate * viol_prev
+            stalled = (
+                viol_fresh > options.penalty_stall_gate * viol_prev
+            ) & ~truncated
             scale_eff = jnp.where(
                 stalled,
                 options.scaling_penalty * options.scaling_penalty_stalled,
@@ -262,9 +276,11 @@ def make_solve_fn(
             # and large c manufactures huge multipliers whose linear term
             # rewards constraint-crashing steps (measured TPU divergence)
             new_duals = jnp.where(stalled, duals, new_duals)
+        # truncated rounds never ascend (see docstring)
+        new_duals = jnp.where(truncated, duals, new_duals)
         return new_duals, new_penalty
 
-    def ilqr(xs, us, ws, duals, penalty, reg, it_offset=0):
+    def ilqr(xs, us, ws, duals, penalty, reg, it_offset=0, it_cap=None):
         """Inner iLQR loop, restructured for single-trace bodies.
 
         The reference order is {derive+backward before the loop; loop: forward,
@@ -294,6 +310,9 @@ def make_solve_fn(
 
         def cond(s: _InnerCarry):
             c = (~s.stop) & (s.it < options.max_iterations)
+            if it_cap is not None:
+                # inexact early AL rounds (options.early_round_iteration_cap)
+                c = c & (s.it < it_cap)
             if options.max_total_iterations is not None:
                 c = c & (it_offset + s.it < options.max_total_iterations)
             return c
@@ -428,11 +447,36 @@ def make_solve_fn(
                 | (~status)
                 | (inner1 >= options.max_iterations)
             )
+            truncated = jnp.asarray(False)
+            if options.early_round_iteration_cap is not None:
+                # inexact early rounds: truncate rounds at the cap, as pure
+                # penalty-continuation steps (options.py).  A truncated
+                # round neither ascends nor counts against max_dual_updates
+                # (burning the dual budget on truncations was measured to
+                # strand the hardest 0.05% of a 4096 batch at max_penalty
+                # with no rounds left); termination is guaranteed by the
+                # uncapped algorithm's own worst-case iteration bound below.
+                # the FIRST round (lambda=0, rho=rho0) always runs to natural
+                # completion: it establishes the nominal trajectory, and
+                # truncating it mid-swing was measured to strand the hardest
+                # instances in a line-search-failure/ascent doom loop
+                cap_fired = (
+                    (inner1 >= options.early_round_iteration_cap)
+                    & (s.al_it > 0)
+                    & (s.al_it + 1 < options.max_dual_updates)
+                )
+                truncated = cap_fired & ~round_end
+                round_end = round_end | cap_fired
             viol = viol_of(c_n)
             feasible = viol <= options.constraint_tolerance
             solve_done = round_end & (
                 feasible | (s.al_it + 1 >= options.max_dual_updates)
             )
+            if options.early_round_iteration_cap is not None:
+                solve_done = solve_done | (
+                    s.total_it + 1
+                    >= options.max_iterations * options.max_dual_updates
+                )
             if options.max_total_iterations is not None:
                 # budget exhausted: stop outright, suppressing the dual
                 # update a round_end would otherwise fire (see options.py)
@@ -442,7 +486,7 @@ def make_solve_fn(
             do_update = round_end & ~solve_done
 
             new_duals, new_penalty = al_transition(
-                c_n, viol, s.duals, s.penalty, s.viol_prev
+                c_n, viol, s.duals, s.penalty, s.viol_prev, truncated
             )
             duals2 = jnp.where(do_update, new_duals, s.duals)
             pen2 = jnp.where(do_update, new_penalty, s.penalty)
@@ -497,7 +541,7 @@ def make_solve_fn(
                 xs=xs_n, us=us_n, ws=ws2, duals=duals2, penalty=pen2,
                 J=J2, c=c_n, reg=reg,
                 viol_prev=jnp.where(round_end, viol, s.viol_prev),
-                al_it=s.al_it + round_end.astype(s.al_it.dtype),
+                al_it=s.al_it + (round_end & ~truncated).astype(s.al_it.dtype),
                 inner_it=jnp.where(round_end, 0, inner1),
                 total_it=s.total_it + 1,
                 status=status, step_size=step, viol=viol,
@@ -559,11 +603,30 @@ def make_solve_fn(
         )
 
         def cond(s: _OuterCarry):
-            return (~s.stop) & (s.al_it < options.max_dual_updates)
+            c = (~s.stop) & (s.al_it < options.max_dual_updates)
+            if options.early_round_iteration_cap is not None:
+                # truncated rounds don't consume the dual budget, so bound
+                # termination by the uncapped algorithm's own worst case
+                c = c & (
+                    s.total_iters
+                    < options.max_iterations * options.max_dual_updates
+                )
+            return c
 
         def body(s: _OuterCarry):
+            it_cap = None
+            if options.early_round_iteration_cap is not None:
+                # last possible round runs to max_iterations; earlier rounds
+                # are truncated (inexact early rounds, options.py)
+                it_cap = jnp.where(
+                    (s.al_it == 0)
+                    | (s.al_it + 1 >= options.max_dual_updates),
+                    options.max_iterations,
+                    options.early_round_iteration_cap,
+                )
             inner = ilqr(
-                s.xs, s.us, s.ws, s.duals, s.penalty, s.reg, s.total_iters
+                s.xs, s.us, s.ws, s.duals, s.penalty, s.reg, s.total_iters,
+                it_cap,
             )
             # break *before* the dual update when already feasible
             # (reference: src/solve.jl:113-121).  The violation and the dual
@@ -580,9 +643,17 @@ def make_solve_fn(
                 stop = stop | (
                     s.total_iters + inner.it >= options.max_total_iterations
                 )
+            truncated = jnp.asarray(False)
+            if it_cap is not None:
+                # round ended by the cap, not by converging (inner stop
+                # flag unset and the budget consumed)
+                truncated = (~inner.stop) & (inner.it >= it_cap) & (
+                    it_cap < options.max_iterations
+                )
             if nc > 0:
                 new_duals, new_penalty = al_transition(
-                    c_fresh, viol_fresh, s.duals, s.penalty, s.viol_prev
+                    c_fresh, viol_fresh, s.duals, s.penalty, s.viol_prev,
+                    truncated,
                 )
                 duals = jnp.where(stop, s.duals, new_duals)
                 penalty = jnp.where(stop, s.penalty, new_penalty)
@@ -616,7 +687,7 @@ def make_solve_fn(
             return _OuterCarry(
                 xs=xs_next, us=us_next, ws=ws_next,
                 duals=duals, penalty=penalty, reg=inner.reg,
-                al_it=s.al_it + 1, stop=stop,
+                al_it=s.al_it + jnp.where(truncated, 0, 1), stop=stop,
                 total_iters=s.total_iters + inner.it,
                 J=inner.J, grad_norm=inner.grad_norm, viol=viol_fresh,
                 viol_prev=viol_fresh,

@@ -1,0 +1,209 @@
+"""Straggler-compaction driver for the batched SL solve.
+
+A batched ``lax.while_loop`` runs until the SLOWEST instance converges, so
+wall clock is set by the iteration-count TAIL, not the mean.  Measured on
+the acrobot T=101 B=4096 parity bench (benchmarks/tail_analysis.py): mean 72
+iterations, p90 102, max 216 — and the live fraction collapses to 13.7% by
+iteration 96 and 2% by 128.  Running the last ~120 iterations at B=4096 for
+~500 live instances wastes ~3x of the total wall clock.
+
+This driver runs the SL solver (core/solve_sl.py) in bounded CHUNKS of
+iterations and, between chunks, COMPACTS the still-live instances into a
+smaller batch shape when they fit in a fraction of the current one:
+
+    carry = init(xs, us, ws)                       # full batch  B0
+    while live:
+        carry = chunk(carry)                        # <= K iterations
+        if ceil1024(n_live) <= B_cur / shrink:      # worth re-packing
+            scatter carry back into the full-batch carry
+            gather live lanes (+ frozen fillers) into the smaller shape
+    scatter; solution = finish(full carry)          # one pass, full batch
+
+Per-instance semantics are EXACTLY those of the single-shot SL solver: each
+lane's update sequence is independent (converged lanes are frozen by the
+``live`` mask in the body), so chunk boundaries and lane moves change
+nothing but wall clock; tests/test_solve_compact.py asserts bitwise-equal
+Solutions on CPU.
+
+This is a HOST-side loop (a few device syncs of one [S,128] bool per chunk)
+— the returned callable is not jittable end-to-end.  Each distinct batch
+shape is a separate compiled program; with ``cache_dir`` set, every program
+is served from the jax.export program cache (utils/program_cache.py), so
+the tunneled-backend lowering tax is paid once per shape ever.
+
+Reference analog: none (the reference solves one instance at a time); this
+is TPU-native batch-scheduling machinery.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .options import Options
+from .solve import Solution
+from .solve_sl import make_sl_parts, _SLCarry
+from .spec import ProblemSpec
+
+_GRAIN = 1024  # packed kernel batch granularity (ops/packed_backward.py)
+
+
+def _round_up(x, mult):
+    return -(-x // mult) * mult
+
+
+def make_compacted_solve_fn(
+    spec: ProblemSpec,
+    options: Options = Options(),
+    *,
+    chunk: int = 32,
+    shrink: int = 2,
+    interpret: bool = False,
+    cache_dir: str | None = None,
+    cache_key: str | None = None,
+):
+    """Build a host-callable ``(xs [B,T,nx], us, ws) -> Solution``.
+
+    ``chunk``: iterations per device dispatch (tail granularity).
+    ``shrink``: only re-pack when the live set fits in ``B_cur / shrink``.
+    ``cache_dir``/``cache_key``: serve each per-shape program from the
+    jax.export program cache under this key prefix.
+    """
+    parts = make_sl_parts(spec, options, interpret=interpret)
+
+    def _chunk_host(carry, ws, n_iters):
+        # n_iters is TRACED (one compiled program per batch shape serves any
+        # dispatch size — the driver grows dispatches after compaction to
+        # cut host-sync round trips, which cost ~10-30ms each through the
+        # tunneled backend)
+        body = parts.body(ws)
+
+        def cond(st):
+            i, s = st
+            return (i < n_iters) & ~jnp.all(s.stop)
+
+        def step(st):
+            i, s = st
+            return i + 1, body(s)
+
+        _, s = jax.lax.while_loop(cond, step, (jnp.int32(0), carry))
+        return s
+
+    def _gather_host(carry, ws, idx):
+        # idx [B'] int32 lane indices into the flattened (S,128) batch
+        S2 = idx.shape[0] // 128
+
+        def g(a):
+            # explicit lane count: -1 breaks on zero-size dims (npar=0)
+            flat = a.reshape(a.shape[:-2] + (a.shape[-2] * a.shape[-1],))
+            out = jnp.take(flat, idx, axis=-1)
+            return out.reshape(out.shape[:-1] + (S2, 128))
+
+        return jax.tree.map(g, carry), jax.tree.map(g, ws)
+
+    def _scatter_host(carry_full, carry_small, idx):
+        def sc(af, asm):
+            flatf = af.reshape(af.shape[:-2] + (af.shape[-2] * af.shape[-1],))
+            flats = asm.reshape(
+                asm.shape[:-2] + (asm.shape[-2] * asm.shape[-1],)
+            )
+            out = flatf.at[..., idx].set(flats)
+            return out.reshape(af.shape)
+
+        return jax.tree.map(sc, carry_full, carry_small)
+
+    def _cached(make, tag, example_args):
+        if cache_dir is None:
+            fn = make()
+            return jax.jit(fn)
+        from ..utils.program_cache import cached_program
+
+        key = f"{cache_key or 'compact'}_{tag}"
+        return cached_program(make, key, example_args, cache_dir=cache_dir,
+                              verbose=True)
+
+    # per-shape program tables, shared across solve() calls (deserializing
+    # a cached program per call would dominate the solve otherwise)
+    init_fns, finish_fns = {}, {}
+    chunk_fns, gather_fns, scatter_fns = {}, {}, {}
+
+    def solve(xs_b, us_b, ws_b) -> Solution:
+        B = int(xs_b.shape[0])
+        if B not in init_fns:
+            init_fns[B] = _cached(
+                lambda: parts.init, f"init_B{B}", (xs_b, us_b, ws_b)
+            )
+        carry, ws_full = init_fns[B](xs_b, us_b, ws_b)
+        Bp = carry.stop.shape[-2] * 128
+
+        def run_chunk(carry, ws):
+            Bc = carry.stop.shape[-2] * 128
+            # grow dispatches at smaller shapes: the cheap post-compaction
+            # phase should not pay one host round trip per `chunk` iterations
+            n = jnp.int32(min(chunk * max(Bp // Bc, 1), 4 * chunk))
+            if Bc not in chunk_fns:
+                chunk_fns[Bc] = _cached(
+                    lambda: _chunk_host, f"chunkv_B{Bc}", (carry, ws, n)
+                )
+            return chunk_fns[Bc](carry, ws, n)
+
+        carry_full, ws_cur = carry, ws_full
+        idx = None  # current-lane -> full-lane map; None = identity (full)
+        while True:
+            cur = carry if idx is not None else carry_full
+            cur = run_chunk(cur, ws_cur)
+            if idx is None:
+                carry_full = cur
+            else:
+                carry = cur
+            stop = np.asarray(cur.stop).ravel()
+            if stop.all():
+                break
+            live = np.flatnonzero(~stop)
+            B_cur = stop.size
+            B_next = max(_GRAIN, _round_up(len(live), _GRAIN))
+            if B_next * shrink > B_cur:
+                continue
+            # re-pack: live lanes + frozen (stopped) fillers to B_next
+            fill = np.flatnonzero(stop)[: B_next - len(live)]
+            sel = np.concatenate([live, fill]).astype(np.int32)
+            if idx is not None:
+                # fold current carry back into the full-batch carry first
+                Bc = carry.stop.shape[-2] * 128
+                key = (Bp, Bc)
+                if key not in scatter_fns:
+                    scatter_fns[key] = _cached(
+                        lambda: _scatter_host, f"scatter_B{Bp}_b{Bc}",
+                        (carry_full, carry, idx),
+                    )
+                carry_full = scatter_fns[key](carry_full, carry, idx)
+                sel = np.asarray(idx)[sel]  # to full-lane coordinates
+            key = (Bp, B_next)
+            idx = jnp.asarray(sel, jnp.int32)
+            if key not in gather_fns:
+                gather_fns[key] = _cached(
+                    lambda: _gather_host, f"gather_B{Bp}_b{B_next}",
+                    (carry_full, ws_full, idx),
+                )
+            carry, ws_cur = gather_fns[key](carry_full, ws_full, idx)
+
+        if idx is not None:
+            Bc = carry.stop.shape[-2] * 128
+            key = (Bp, Bc)
+            if key not in scatter_fns:
+                scatter_fns[key] = _cached(
+                    lambda: _scatter_host, f"scatter_B{Bp}_b{Bc}",
+                    (carry_full, carry, idx),
+                )
+            carry_full = scatter_fns[key](carry_full, carry, idx)
+
+        if B not in finish_fns:
+            finish_fns[B] = _cached(
+                lambda: lambda c, w: parts.finish(c, w, B),
+                f"finish_B{B}", (carry_full, ws_full),
+            )
+        return finish_fns[B](carry_full, ws_full)
+
+    return solve

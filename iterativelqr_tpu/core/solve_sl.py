@@ -52,11 +52,21 @@ class _SLCarry(NamedTuple):
     stop: jax.Array      # [S, L] bool
 
 
-def make_batched_solve_sl(
+class SLParts(NamedTuple):
+    """The SL solver split into separately-jittable pieces, so the
+    straggler-compaction driver (core/solve_compact.py) can run the loop in
+    bounded chunks at shrinking batch shapes.  ``init`` and ``finish``
+    convert layouts at entry/exit; ``body`` is one solver iteration on the
+    SL carry."""
+
+    init: callable    # (xs [B,T,nx], us, ws) -> (_SLCarry, ws_sl)  (padded)
+    body: callable    # ws_sl -> (_SLCarry -> _SLCarry)
+    finish: callable  # (_SLCarry, ws_sl, B) -> Solution (batch-leading)
+
+
+def make_sl_parts(
     spec: ProblemSpec, options: Options = Options(), interpret: bool = False
-):
-    """Build ``(xs [B,T,nx], us [B,T-1,nu], ws [B,T,npar]) -> Solution``
-    (batch-leading Solution, like make_batched_solve_fn)."""
+) -> SLParts:
     if options.record_traces:
         raise ValueError("SL batched solver does not record traces; "
                          "use the vmap path (record_traces=True)")
@@ -77,8 +87,12 @@ def make_batched_solve_sl(
                 s.xs, s.us, ws, s.duals, s.penalty, s.c, s.reg
             )
             stop_grad = grad < o.lagrangian_gradient_tolerance
+            # `need`: lanes whose line-search result survives into the carry
+            # (stopped and gradient-converged lanes discard it) — lets the
+            # two-block scoring skip its tail block (ops/sl_ops.py)
             xs_n, us_n, J_n, c_n, status, step = ops.line_search(
-                s.xs, s.us, ws, K, k, slope, s.J, s.c, s.duals, s.penalty
+                s.xs, s.us, ws, K, k, slope, s.J, s.c, s.duals, s.penalty,
+                need=live & ~stop_grad,
             )
             # barrier: see the stale-carry note in core/solve.py
             xs_n, us_n, J_n, c_n = jax.lax.optimization_barrier(
@@ -99,11 +113,28 @@ def make_batched_solve_sl(
                 | (~status)
                 | (inner1 >= o.max_iterations)
             )
+            truncated = jnp.zeros(inner1.shape, bool)
+            if o.early_round_iteration_cap is not None:
+                # inexact early rounds: penalty-continuation truncation —
+                # no ascent, no dual-budget consumption; termination via the
+                # uncapped worst-case bound (core/solve.py fused body)
+                # first round never truncates (core/solve.py fused body note)
+                cap_fired = (
+                    (inner1 >= o.early_round_iteration_cap)
+                    & (s.al_it > 0)
+                    & (s.al_it + 1 < o.max_dual_updates)
+                )
+                truncated = cap_fired & ~round_end
+                round_end = round_end | cap_fired
             viol = ops.max_violation(c_n)
             feasible = viol <= o.constraint_tolerance
             solve_done = round_end & (
                 feasible | (s.al_it + 1 >= o.max_dual_updates)
             )
+            if o.early_round_iteration_cap is not None:
+                solve_done = solve_done | (
+                    s.total_it + 1 >= o.max_iterations * o.max_dual_updates
+                )
             if o.max_total_iterations is not None:
                 # budget exhausted: stop outright, no dual update (options.py)
                 solve_done = solve_done | (
@@ -112,7 +143,7 @@ def make_batched_solve_sl(
             do_update = round_end & ~solve_done
 
             new_duals, new_pen = ops.al_transition(
-                c_n, viol, s.duals, s.penalty, s.viol_prev
+                c_n, viol, s.duals, s.penalty, s.viol_prev, truncated
             )
             duals2 = jnp.where(do_update, new_duals, s.duals)
             pen2 = jnp.where(do_update, new_pen, s.penalty)
@@ -134,7 +165,11 @@ def make_batched_solve_sl(
                 viol_prev=w(
                     jnp.where(round_end, viol, s.viol_prev), s.viol_prev
                 ),
-                al_it=w(s.al_it + round_end.astype(s.al_it.dtype), s.al_it),
+                al_it=w(
+                    s.al_it
+                    + (round_end & ~truncated).astype(s.al_it.dtype),
+                    s.al_it,
+                ),
                 inner_it=w(jnp.where(round_end, 0, inner1), s.inner_it),
                 total_it=w(s.total_it + 1, s.total_it),
                 status=w(status, s.status), step_size=w(step, s.step_size),
@@ -144,7 +179,7 @@ def make_batched_solve_sl(
 
         return _body
 
-    def _solve(xs_b, us_b, ws_b) -> Solution:
+    def init(xs_b, us_b, ws_b):
         B = xs_b.shape[0]
         dtype = xs_b.dtype
         Bp = _round_up(B, 1024)
@@ -166,7 +201,8 @@ def make_batched_solve_sl(
         pen0 = jnp.full(
             (T, nc, S, 128), o.initial_constraint_penalty, dtype
         )
-        J0, c0 = ops.al_objective(xs, us, ws, duals0, pen0)
+        with jax.default_matmul_precision("float32"):
+            J0, c0 = ops.al_objective(xs, us, ws, duals0, pen0)
         zi = jnp.zeros((S, 128), jnp.int32)
         carry = _SLCarry(
             xs=xs, us=us, duals=duals0, penalty=pen0, J=J0, c=c0,
@@ -178,19 +214,19 @@ def make_batched_solve_sl(
             viol=ops.max_violation(c0),
             stop=jnp.zeros((S, 128), bool),
         )
+        return carry, ws
 
-        s = jax.lax.while_loop(
-            lambda s: ~jnp.all(s.stop), body(ws), carry
-        )
-
-        # user-facing violation: evaluated FRESH at the returned trajectory
-        # (core/solve.py::_finish)
-        _, c_fin = ops.al_objective(s.xs, s.us, ws, s.duals, s.penalty)
-        viol_fin = ops.max_violation(c_fin)
-        # exit-consistent gains/gradient about the RETURNED trajectory
-        K_f, k_f, _, grad_f, _ = derive(
-            s.xs, s.us, ws, s.duals, s.penalty, c_fin, s.reg
-        )
+    def finish(s: _SLCarry, ws, B) -> Solution:
+        dtype = s.xs.dtype
+        with jax.default_matmul_precision("float32"):
+            # user-facing violation: evaluated FRESH at the returned
+            # trajectory (core/solve.py::_finish)
+            _, c_fin = ops.al_objective(s.xs, s.us, ws, s.duals, s.penalty)
+            viol_fin = ops.max_violation(c_fin)
+            # exit-consistent gains/gradient about the RETURNED trajectory
+            K_f, k_f, _, grad_f, _ = derive(
+                s.xs, s.us, ws, s.duals, s.penalty, c_fin, s.reg
+            )
 
         out = lambda a: from_sl(a)[:B]
         ztr = jnp.zeros((B, 1, 1), dtype)
@@ -207,9 +243,33 @@ def make_batched_solve_sl(
             tol_constraint=jnp.full((B,), o.constraint_tolerance, dtype),
         )
 
-    def solve_batch(xs_init, us_init, ws) -> Solution:
+    def body_prec(ws):
+        inner = body(ws)
+
+        def _b(s):
+            with jax.default_matmul_precision("float32"):
+                return inner(s)
+
+        return _b
+
+    return SLParts(init=init, body=body_prec, finish=finish)
+
+
+def make_batched_solve_sl(
+    spec: ProblemSpec, options: Options = Options(), interpret: bool = False
+):
+    """Build ``(xs [B,T,nx], us [B,T-1,nu], ws [B,T,npar]) -> Solution``
+    (batch-leading Solution, like make_batched_solve_fn)."""
+    parts = make_sl_parts(spec, options, interpret=interpret)
+
+    def solve_batch(xs_init, us_init, ws_b) -> Solution:
+        B = xs_init.shape[0]
         # full-f32 matmul precision: see the note in core/solve.py::solve
-        with jax.default_matmul_precision("float32"):
-            return _solve(xs_init, us_init, ws)
+        # (applied inside each part; the while_loop body re-enters it)
+        carry, ws = parts.init(xs_init, us_init, ws_b)
+        s = jax.lax.while_loop(
+            lambda s: ~jnp.all(s.stop), parts.body(ws), carry
+        )
+        return parts.finish(s, ws, B)
 
     return solve_batch

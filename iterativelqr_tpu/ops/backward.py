@@ -111,10 +111,21 @@ def backward_pass_scan(fx, fu, gx, gu, gxx, guu, gux, u_mask, reg, unroll=1):
 import functools
 
 
+def _assoc_wins(B: int, T: int) -> bool:
+    """Measured (B, T) regime rule for the backward pass on TPU v5e
+    (benchmarks/horizon_bench.py, docs/design.md section 3 table): the
+    O(log T) associative scan wins only when the batch underfills the chip —
+    B=1 at every T (0.67-0.75x of scan), B=64 once T reaches ~500 (0.83x);
+    at B>=512 the sequential scan's cheaper element composition wins
+    everywhere (up to 7.9x at B=4096, T=501)."""
+    return B <= max(1, T // 7)
+
+
 @functools.lru_cache(maxsize=None)
 def _make_auto_dispatch(unroll: int):
-    """custom_vmap dispatcher: associative scan unbatched, reverse scan under
-    vmap (the batched solve)."""
+    """custom_vmap dispatcher: associative scan for unbatched (and, via the
+    measured regime rule, small-batch/long-horizon) calls; reverse scan for
+    chip-filling batches."""
     from .assoc import backward_pass_associative
 
     @jax.custom_batching.custom_vmap
@@ -129,8 +140,13 @@ def _make_auto_dispatch(unroll: int):
         reg_b = in_batched[8]
         um = u_mask[0] if um_b else u_mask
         reg_v = reg if reg_b else jnp.broadcast_to(reg, (axis_size,))
+        T = fx.shape[1] + 1  # fx is [B, T-1, nx, nx] under the rule
+        if _assoc_wins(axis_size, T):
+            bp = backward_pass_associative
+        else:
+            bp = functools.partial(backward_pass_scan, unroll=unroll)
         out = jax.vmap(
-            lambda *a: backward_pass_scan(*a[:7], um, a[7], unroll=unroll)
+            lambda *a: bp(*a[:7], um, a[7])
         )(fx, fu, gx, gu, gxx, guu, gux, reg_v)
         return out, tuple(True for _ in out)
 

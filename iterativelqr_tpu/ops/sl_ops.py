@@ -119,14 +119,19 @@ class SLOps:
         v = jnp.where(self.cmask_sl, v, 0.0)
         return jnp.max(v, axis=(0, 1))
 
-    def al_transition(self, c, viol, duals, penalty, viol_prev):
-        """Stall-gated dual/penalty update (core/solve.py::al_transition);
-        returns the POST-update pair, caller gates application."""
+    def al_transition(self, c, viol, duals, penalty, viol_prev,
+                      truncated=False):
+        """Stall-gated dual/penalty update (core/solve.py::al_transition,
+        incl. the truncated-round stall exemption); returns the POST-update
+        pair, caller gates application."""
         o = self.options
         if self.spec.nc == 0:
             return duals, penalty
+        truncated = jnp.asarray(truncated)
         if o.adaptive_penalty:
-            stalled = viol > o.penalty_stall_gate * viol_prev     # [S,L]
+            stalled = (
+                viol > o.penalty_stall_gate * viol_prev           # [S,L]
+            ) & ~truncated
             scale_eff = jnp.where(
                 stalled,
                 o.scaling_penalty * o.scaling_penalty_stalled,
@@ -144,6 +149,9 @@ class SLOps:
         )
         if o.adaptive_penalty:
             new_duals = jnp.where(stalled, duals, new_duals)
+        # truncated rounds grow the penalty but never ascend
+        # (core/solve.py::al_transition docstring)
+        new_duals = jnp.where(truncated, duals, new_duals)
         return new_duals, new_penalty
 
     # --- objective / constraint evaluation ---------------------------------
@@ -177,7 +185,7 @@ class SLOps:
     # --- line search --------------------------------------------------------
 
     def line_search(self, xbar, ubar, ws, K, k, slope, J_prev, c_prev,
-                    duals, penalty):
+                    duals, penalty, need=None):
         """Parallel-alpha Armijo search, SL layout end to end.
 
         Same algorithm as ops/forward.py::line_search: every candidate
@@ -187,6 +195,15 @@ class SLOps:
         per-instance winning alpha riding the batch lanes) recovers the
         trajectory and constraint values.  The accepted objective is the
         scoring scan's value (see the forward.py docstring for why).
+
+        Two-block scoring: candidates split into a head block (8) scored
+        always and a tail block scored under ``lax.cond`` ONLY when some
+        lane in ``need`` (result-consuming lanes; None = all) has no head
+        acceptance.  The head block accepts in the overwhelming majority of
+        iterations (largest accepted alpha is the winner, so the tail can
+        only matter to lanes with no head acceptance), cutting the dominant
+        per-iteration cost of wide reference grids (num_step_sizes=17 at
+        min_step_size=1e-5) nearly in half with bit-identical selection.
 
         Returns (xs, us, J, c, status, step_size) in SL shapes.
         """
@@ -283,56 +300,83 @@ class SLOps:
 
         na = o.num_step_sizes
         alphas = 0.5 ** jnp.arange(na, dtype=dtype)
-
-        # score all candidates in one scan: the candidate axis rides axis 0
-        # of the carry, shared per-step inputs are read once
-        def score_step(carry, inp):
-            x, J = carry                       # [na,nx,S,L], [na,S,L]
-            td, tg, tc, xb, ub, w, K_t, k_t, lam_t, rho_t, iq_t = inp
-            dx = x - xb[None]
-            u = (
-                ub[None]
-                + jnp.sum(K_t[None] * dx[:, None], axis=2)
-                + alphas[:, None, None, None] * k_t[None]
-            )
-            g = _switch(tg, self.cost3, x, u, w)
-            J = J + g
-            if nc > 0:
-                c_t = _switch(tc, self.con3, x, u, w)  # [na,nc,S,L]
-                iq = iq_t[None, :, None, None]
-                lam = lam_t[None]
-                rho = rho_t[None]
-                inactive = iq & (c_t < 0.0) & (lam == 0.0)
-                a = jnp.where(inactive, 0.0, 1.0).astype(dtype)
-                J = J + jnp.sum(
-                    lam * c_t + 0.5 * a * rho * c_t * c_t, axis=1
-                )
-            xn = _switch(td, self.dyn3, x, u, w)
-            return (xn, J), jnp.zeros((), dtype)
-
-        x0 = jnp.broadcast_to(xbar[0][None], (na, nx, S, 128))
-        (x_last, J_c), _ = jax.lax.scan(
-            score_step, (x0, jnp.zeros((na, S, 128), dtype)), scan_inputs,
-            unroll=o.scan_unroll,
-        )
-        u0 = jnp.zeros((na, nu, S, 128), dtype)
-        gT = self.cost3[self.gT](x_last, u0, ws[-1])
-        J_c = J_c + gT
-        if nc > 0:
-            cT = self.con3[self.cT](x_last, u0, ws[-1])
-            iq = self.ineq_t[-1][None, :, None, None]
-            lam = duals[-1][None]
-            rho = penalty[-1][None]
-            inactive = iq & (cT < 0.0) & (lam == 0.0)
-            a = jnp.where(inactive, 0.0, 1.0).astype(dtype)
-            J_c = J_c + jnp.sum(
-                lam * cT + 0.5 * a * rho * cT * cT, axis=1
-            )
-
         c1 = jnp.asarray(o.armijo_c1, dtype)
-        accept = (
-            J_c <= J_prev[None] + c1 * alphas[:, None, None] * slope[None]
-        ) & jnp.isfinite(J_c)
+
+        def score_block(alphas_blk):
+            """Score a block of candidates in one scan: the candidate axis
+            rides axis 0 of the carry, shared per-step inputs read once."""
+            nb = alphas_blk.shape[0]
+
+            def score_step(carry, inp):
+                x, J = carry                   # [nb,nx,S,L], [nb,S,L]
+                td, tg, tc, xb, ub, w, K_t, k_t, lam_t, rho_t, iq_t = inp
+                dx = x - xb[None]
+                u = (
+                    ub[None]
+                    + jnp.sum(K_t[None] * dx[:, None], axis=2)
+                    + alphas_blk[:, None, None, None] * k_t[None]
+                )
+                g = _switch(tg, self.cost3, x, u, w)
+                J = J + g
+                if nc > 0:
+                    c_t = _switch(tc, self.con3, x, u, w)  # [nb,nc,S,L]
+                    iq = iq_t[None, :, None, None]
+                    lam = lam_t[None]
+                    rho = rho_t[None]
+                    inactive = iq & (c_t < 0.0) & (lam == 0.0)
+                    a = jnp.where(inactive, 0.0, 1.0).astype(dtype)
+                    J = J + jnp.sum(
+                        lam * c_t + 0.5 * a * rho * c_t * c_t, axis=1
+                    )
+                xn = _switch(td, self.dyn3, x, u, w)
+                return (xn, J), jnp.zeros((), dtype)
+
+            x0 = jnp.broadcast_to(xbar[0][None], (nb, nx, S, 128))
+            (x_last, J_b), _ = jax.lax.scan(
+                score_step, (x0, jnp.zeros((nb, S, 128), dtype)),
+                scan_inputs, unroll=o.scan_unroll,
+            )
+            u0 = jnp.zeros((nb, nu, S, 128), dtype)
+            gT = self.cost3[self.gT](x_last, u0, ws[-1])
+            J_b = J_b + gT
+            if nc > 0:
+                cT = self.con3[self.cT](x_last, u0, ws[-1])
+                iq = self.ineq_t[-1][None, :, None, None]
+                lam = duals[-1][None]
+                rho = penalty[-1][None]
+                inactive = iq & (cT < 0.0) & (lam == 0.0)
+                a = jnp.where(inactive, 0.0, 1.0).astype(dtype)
+                J_b = J_b + jnp.sum(
+                    lam * cT + 0.5 * a * rho * cT * cT, axis=1
+                )
+            return J_b
+
+        def acc(J_blk, alphas_blk):
+            return (
+                J_blk
+                <= J_prev[None]
+                + c1 * alphas_blk[:, None, None] * slope[None]
+            ) & jnp.isfinite(J_blk)
+
+        n1 = min(8, na)
+        J_head = score_block(alphas[:n1])
+        if na > n1:
+            # tail block only when some result-consuming lane has no head
+            # acceptance (the winner is the LARGEST accepted alpha, so the
+            # tail cannot change lanes that already accepted in the head)
+            head_ok = jnp.any(acc(J_head, alphas[:n1]), axis=0)   # [S,L]
+            settled = head_ok if need is None else (head_ok | ~need)
+            J_tail = jax.lax.cond(
+                jnp.all(settled),
+                lambda: jnp.full((na - n1,) + J_head.shape[1:], jnp.inf,
+                                 dtype),
+                lambda: score_block(alphas[n1:]),
+            )
+            J_c = jnp.concatenate([J_head, J_tail], axis=0)
+        else:
+            J_c = J_head
+
+        accept = acc(J_c, alphas)
         status = jnp.any(accept, axis=0)                   # [S,L]
         idx = jnp.argmax(accept, axis=0)                   # [S,L]
         alpha_win = alphas[idx]

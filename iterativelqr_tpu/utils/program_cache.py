@@ -44,6 +44,7 @@ def _ensure_serialization_registered():
     if _registered:
         return
     from ..core.solve import Solution
+    from ..core.solve_sl import _SLCarry
     from ..parallel.batch import BatchStats
 
     try:
@@ -56,12 +57,14 @@ def _ensure_serialization_registered():
         )
     except ValueError:
         pass  # already registered
-    try:
-        jexport.register_namedtuple_serialization(
-            BatchStats, serialized_name="iterativelqr_tpu.parallel.batch.BatchStats"
-        )
-    except ValueError:
-        pass
+    for nt, name in (
+        (BatchStats, "iterativelqr_tpu.parallel.batch.BatchStats"),
+        (_SLCarry, "iterativelqr_tpu.core.solve_sl._SLCarry"),
+    ):
+        try:
+            jexport.register_namedtuple_serialization(nt, serialized_name=name)
+        except ValueError:
+            pass
     _registered = True
 
 

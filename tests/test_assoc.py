@@ -125,3 +125,31 @@ def test_backward_auto_dispatch():
     np.testing.assert_allclose(
         np.asarray(out_b[0]), np.asarray(ref_b[0]), rtol=1e-9, atol=1e-10
     )
+
+
+def test_backward_auto_dispatch_regime_rule():
+    """The auto rule is (B, T)-driven (docs/design.md section 3 regime
+    table): under vmap, small batches with long horizons route to the
+    associative scan, chip-filling batches to the sequential scan."""
+    from iterativelqr_tpu.ops.backward import _assoc_wins, backward_pass
+    from iterativelqr_tpu.ops.assoc import backward_pass_associative
+
+    assert _assoc_wins(1, 101) and _assoc_wins(64, 501)
+    assert not _assoc_wins(64, 251) and not _assoc_wins(512, 101)
+    assert not _assoc_wins(4096, 501)
+
+    # exercise the vmapped assoc branch numerically: B=2, T=51 -> assoc
+    T, nx, nu, B = 51, 4, 2, 2
+    fx, fu, gx, gu, gxx, guu, gux = _random_lq(jax.random.PRNGKey(7), T, nx, nu)
+    u_mask = jnp.ones((T - 1, nu), bool)
+    opts = Options(verbose=False, backward_pass="auto")
+    reg0 = jnp.zeros(())
+    batch = lambda a: jnp.stack([a, a * 1.05])
+    args = tuple(map(batch, (fx, fu, gx, gu, gxx, guu, gux)))
+    out_b = jax.vmap(lambda *a: backward_pass(*a, u_mask, reg0, opts))(*args)
+    ref_b = jax.vmap(
+        lambda *a: backward_pass_associative(*a, u_mask, reg0)
+    )(*args)
+    np.testing.assert_allclose(
+        np.asarray(out_b[0]), np.asarray(ref_b[0]), rtol=1e-8, atol=1e-10
+    )

@@ -1,0 +1,93 @@
+"""Straggler-compaction driver (core/solve_compact.py) vs the single-shot
+SL solver.
+
+Compaction only reschedules WHERE each lane's iterations run (chunked
+dispatches, lane moves between batch shapes); the per-instance update
+sequence is untouched, so every Solution field must match the single-shot
+SL solve exactly.  Run on CPU with the packed kernel in interpreter mode.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from iterativelqr_tpu import Options
+from iterativelqr_tpu.core.solve_compact import make_compacted_solve_fn
+from iterativelqr_tpu.core.spec import build_spec
+from iterativelqr_tpu.models import car
+from iterativelqr_tpu.ops.rollout import open_loop_rollout
+from iterativelqr_tpu.parallel.batch import make_batched_solve_fn
+
+_BASE = dict(
+    record_traces=False,
+    backward_pass="packed",
+    max_iterations=10,
+    max_dual_updates=4,
+)
+
+
+def _spread_batch(T, B, dtype=jnp.float32):
+    """Perturbed car swing-in: iteration counts spread ~8-27, so the live
+    set collapses mid-solve (measured: ~17% live by iteration 18) and the
+    driver actually re-packs 2048 -> 1024."""
+    dynamics, objective, constraints, x1, xT = car.problem(T)
+    spec = build_spec(dynamics, objective, constraints)
+    x0 = jnp.zeros((B, spec.nx), dtype).at[:, : x1.shape[0]].set(
+        x1.astype(dtype)
+    )
+    x0 = x0 + 0.3 * jax.random.normal(jax.random.PRNGKey(11), (B, spec.nx), dtype)
+    us = jnp.full((B, T - 1, spec.nu), 0.01, dtype)
+    ws = jnp.zeros((B, T, max(spec.npar, 0)), dtype)
+    xs = jax.vmap(lambda x, u, w: open_loop_rollout(spec, x, u, w))(x0, us, ws)
+    return spec, xs, us, ws
+
+
+def _assert_solutions_equal(out, ref):
+    # the iterate sequence (everything the solver loop carries) must be
+    # BITWISE identical: compaction only reschedules where lanes run
+    for name in (
+        "xs", "us", "objective", "max_violation", "status", "iterations",
+        "al_iterations", "step_size", "duals", "penalty", "reg",
+    ):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(out, name)), np.asarray(getattr(ref, name)),
+            err_msg=name,
+        )
+    # exit diagnostics (K/k/gradient_norm) are recomputed from that
+    # bitwise-identical state, but in a separately-jitted finish program
+    # whose fusion rounds differently from the eager/fused single-shot path
+    # (measured rel diff < 0.7%)
+    for name in ("K", "k", "gradient_norm"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out, name)), np.asarray(getattr(ref, name)),
+            rtol=2e-2, atol=2e-2, err_msg=name,
+        )
+
+
+def test_compacted_matches_single_shot_with_repack():
+    T, B = 8, 2048
+    spec, xs, us, ws = _spread_batch(T, B)
+    opts = Options(batched_solver="sl", **_BASE)
+    ref = make_batched_solve_fn(spec, opts, interpret=True)(xs, us, ws)
+    it = np.asarray(ref.iterations)
+    # the scenario must actually have a tail that lets the driver re-pack:
+    # at the iteration-18 chunk boundary, under half the batch still live
+    # (so B_next = 1024 <= B/2) while some lanes keep iterating past it
+    assert float((it > 18).mean()) < 0.5
+    assert int(it.max()) > 18
+    out = make_compacted_solve_fn(spec, opts, chunk=6, interpret=True)(
+        xs, us, ws
+    )
+    _assert_solutions_equal(out, ref)
+
+
+def test_compacted_matches_single_shot_no_repack():
+    # B at the 1024 granularity floor: chunking only, no lane moves
+    T, B = 8, 64
+    spec, xs, us, ws = _spread_batch(T, B)
+    opts = Options(batched_solver="sl", **_BASE)
+    ref = make_batched_solve_fn(spec, opts, interpret=True)(xs, us, ws)
+    out = make_compacted_solve_fn(spec, opts, chunk=4, interpret=True)(
+        xs, us, ws
+    )
+    _assert_solutions_equal(out, ref)

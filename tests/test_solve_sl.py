@@ -184,3 +184,32 @@ def test_auto_selects_vmap_off_tpu():
     )
     sol = fn(xs, us, ws)
     assert sol.xs.shape[0] == 2
+
+
+def test_sl_matches_vmap_with_early_round_cap():
+    """Inexact early rounds (early_round_iteration_cap) must produce the
+    same iterate sequence through the SL solver as through the vmap path,
+    including the truncated-round stall exemption in the AL transition."""
+    B = 4
+    spec, xs, us, ws = _batch(acrobot, 9, B, 0.05)
+    base = dict(_BASE, early_round_iteration_cap=3)
+    ref = make_batched_solve_fn(
+        spec, Options(batched_solver="vmap", **base)
+    )(xs, us, ws)
+    out = make_batched_solve_fn(
+        spec, Options(batched_solver="sl", **base), interpret=True
+    )(xs, us, ws)
+    # the cap must actually fire somewhere (rounds of exactly 3 iterations)
+    assert int(np.max(np.asarray(ref.al_iterations))) >= 2
+    np.testing.assert_array_equal(
+        np.asarray(out.iterations), np.asarray(ref.iterations)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out.al_iterations), np.asarray(ref.al_iterations)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.xs), np.asarray(ref.xs), rtol=2e-3, atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.penalty), np.asarray(ref.penalty), rtol=1e-5
+    )
