@@ -221,10 +221,13 @@ def main():
                     make_compacted_solve_fn,
                 )
 
+                # chunk size deliberately NOT in the cache key: the dispatch
+                # size is a traced argument, so the per-shape programs are
+                # chunk-independent and --chunk sweeps reuse them
                 solve_raw = make_compacted_solve_fn(
                     spec, opts, chunk=args.chunk,
                     cache_dir=cache_dir,
-                    cache_key=f"{cache_key}_c{args.chunk}",
+                    cache_key=cache_key,
                 )
                 stats_jit = jax.jit(
                     lambda s: batch_stats(s, opts.constraint_tolerance)

@@ -46,7 +46,7 @@ PROBLEMS = [
     ("acrobot T=101", acrobot.problem, npr.acrobot_problem, 101,
      lambda T: 0.05 * np.ones((T - 1, 1))),
     ("cartpole T=101", cartpole.problem, None, 101,
-     lambda T: 0.1 * np.ones((T - 1, 1))),
+     lambda T: np.asarray(cartpole.swingup_controls(T))),
     ("quadrotor T=41", quadrotor.problem, None, 41,
      lambda T: np.stack([np.asarray(u) for u in quadrotor.hover_controls(T)])),
 ]
@@ -68,7 +68,12 @@ def run_numpy(np_problem, T, us0):
 def run_engine(jx_problem, T, us0, batch):
     dynamics, objective, constraints, x1, xT = jx_problem(T)
     spec = build_spec(dynamics, objective, constraints)
-    opts = Options(verbose=False, record_traces=False)
+    # production TPU config: packed pipeline + SL batched solver (falls back
+    # to scan/vmap automatically off-TPU and for the single-instance solve)
+    opts = Options(
+        verbose=False, record_traces=False,
+        backward_pass="packed" if jax.default_backend() == "tpu" else "scan",
+    )
     dtype = jnp.float32
     us1 = jnp.asarray(np.asarray(us0), dtype)
     # dynamically consistent warm start

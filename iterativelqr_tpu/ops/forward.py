@@ -100,7 +100,11 @@ def line_search(
     alphas = 0.5 ** jnp.arange(na, dtype=xbar.dtype)
 
     # score every candidate with a trajectory-free (carry-only) rollout, then
-    # re-roll only the winner below
+    # re-roll only the winner below.  (A two-block head/tail split with the
+    # tail under lax.cond — the SL solver's structure, ops/sl_ops.py — was
+    # measured to REGRESS this path: single-instance TPU solve latency rose
+    # 22% on acrobot T=51 and 5x on car T=51, the cond splitting the scoring
+    # into separately-scheduled scans; the one-shot grid stays.)
     def score_alpha(alpha):
         _, _, J, _ = rollout_with_al_cost(
             spec, xbar, ubar, ws, K, k, alpha, duals, penalty,

@@ -468,6 +468,44 @@ def backward_pass_batched_pallas_v3(
 # re-laid-out.
 
 
+def _riccati_step(n, m, reg, P, p, ok, fx, fu, gx, gu, gxx, guu, gux):
+    """One backward Riccati step on (.., S, L) operands; returns
+    (K, kff, Qx, Qu, P_new, p_new, ok)."""
+    fxT = _t(fx)
+    fuT = _t(fu)
+    Qx = gx + _mv(fxT, p)
+    Qu = gu + _mv(fuT, p)
+    fxTP = _mm(fxT, P)
+    fuTP = _mm(fuT, P)
+    Qxx = gxx + _mm(fxTP, fx)
+    Quu = guu + _mm(fuTP, fu)
+    Qux = gux + _mm(fuTP, fx)
+
+    Quu_reg = [
+        [Quu[a, b] + (reg if a == b else 0.0) for b in range(m)]
+        for a in range(m)
+    ]
+    Lf = _chol(
+        jnp.stack([jnp.stack(r, axis=0) for r in Quu_reg], axis=0), m
+    )
+    for a in range(m):
+        d = Lf[a][a]
+        ok = ok * (jnp.isfinite(d) & (d > 0.0)).astype(ok.dtype)
+
+    cols = [Qux[:, jj] for jj in range(n)] + [Qu]
+    sols = _chol_solve(Lf, cols, m)
+    K = -jnp.stack(sols[:n], axis=1)
+    kff = -sols[n]
+
+    KT = _t(K)
+    QuxT = _t(Qux)
+    QuuK = _mm(Quu, K)
+    P_new = Qxx + _mm(KT, QuuK) + _mm(KT, Qux) + _mm(QuxT, K)
+    P_new = 0.5 * (P_new + _t(P_new))
+    p_new = Qx + _mv(_t(QuuK), kff) + _mv(KT, Qu) + _mv(QuxT, kff)
+    return K, kff, Qx, Qu, P_new, p_new, ok
+
+
 def _kernel_mr(n, m, Tp, chunk, sub,
                fx_hbm, fu_hbm, gx_hbm, gu_hbm, gxx_hbm, guu_hbm, gux_hbm,
                gxxT_ref, gxT_ref, reg_ref,
@@ -516,49 +554,11 @@ def _kernel_mr(n, m, Tp, chunk, sub,
         wait_all(slot, c)
 
         for j in range(chunk - 1, -1, -1):
-            fx = fx_s[slot, j]
-            fu = fu_s[slot, j]
-            gx = gx_s[slot, j]
-            gu = gu_s[slot, j]
-            gxx = gxx_s[slot, j]
-            guu = guu_s[slot, j]
-            gux = gux_s[slot, j]
-
-            fxT = _t(fx)
-            fuT = _t(fu)
-            Qx = gx + _mv(fxT, p)
-            Qu = gu + _mv(fuT, p)
-            fxTP = _mm(fxT, P)
-            fuTP = _mm(fuT, P)
-            Qxx = gxx + _mm(fxTP, fx)
-            Quu = guu + _mm(fuTP, fu)
-            Qux = gux + _mm(fuTP, fx)
-
-            Quu_reg = [
-                [Quu[a, b] + (reg if a == b else 0.0) for b in range(m)]
-                for a in range(m)
-            ]
-            Lf = _chol(
-                jnp.stack([jnp.stack(r, axis=0) for r in Quu_reg], axis=0), m
+            K, kff, Qx, Qu, P, p, ok = _riccati_step(
+                n, m, reg, P, p, ok,
+                fx_s[slot, j], fu_s[slot, j], gx_s[slot, j], gu_s[slot, j],
+                gxx_s[slot, j], guu_s[slot, j], gux_s[slot, j],
             )
-            ok_t = ok
-            for a in range(m):
-                d = Lf[a][a]
-                ok_t = ok_t * (jnp.isfinite(d) & (d > 0.0)).astype(ok_t.dtype)
-            ok = ok_t
-
-            cols = [Qux[:, jj] for jj in range(n)] + [Qu]
-            sols = _chol_solve(Lf, cols, m)
-            K = -jnp.stack(sols[:n], axis=1)
-            kff = -sols[n]
-
-            KT = _t(K)
-            QuxT = _t(Qux)
-            QuuK = _mm(Quu, K)
-            P = Qxx + _mm(KT, QuuK) + _mm(KT, Qux) + _mm(QuxT, K)
-            P = 0.5 * (P + _t(P))
-            p = Qx + _mv(_t(QuuK), kff) + _mv(KT, Qu) + _mv(QuxT, kff)
-
             t = c * chunk + j
             K_ref[t] = K
             k_ref[t] = kff
@@ -571,12 +571,136 @@ def _kernel_mr(n, m, Tp, chunk, sub,
     ok_ref[0] = ok
 
 
-def pad_stacks_sl(fx, fu, gx, gu, gxx, guu, gux, u_mask, chunk=DEFAULT_CHUNK):
+def _kernel_mr_stream(n, m, Tp, chunk, sub,
+                      fx_hbm, fu_hbm, gx_hbm, gu_hbm, gxx_hbm, guu_hbm,
+                      gux_hbm, gxxT_ref, gxT_ref, reg_ref,
+                      out_hbm, ok_ref,
+                      fx_s, fu_s, gx_s, gu_s, gxx_s, guu_s, gux_s,
+                      obuf, sems, osems):
+    """Streamed-output variant of ``_kernel_mr`` for dims whose full-horizon
+    output blocks do not fit VMEM (e.g. quadrotor n=12, m=4: inputs alone are
+    3.4MB per chunk step and direct [Tp,...] output blocks are ~13MB against
+    the 16MB scoped-VMEM limit).  Per chunk, K/k/Qx/Qu/p rows are packed into
+    a double-buffered VMEM chunk buffer ``obuf [2, chunk, Fo, sub, 128]``
+    (Fo = m*n + 2m + 2n) and DMA'd to the packed HBM output ``out_hbm
+    [Tp, Fo, S_all, 128]``; the caller slices the five arrays out at the XLA
+    level."""
+    i = pl.program_id(0)
+    row0 = pl.multiple_of(i * sub, sub)
+    nchunks = Tp // chunk
+    hbms = [fx_hbm, fu_hbm, gx_hbm, gu_hbm, gxx_hbm, guu_hbm, gux_hbm]
+    bufs = [fx_s, fu_s, gx_s, gu_s, gxx_s, guu_s, gux_s]
+
+    def dma(slot, c, kk):
+        h, b = hbms[kk], bufs[kk]
+        mid = h.ndim - 3
+        idx = (
+            (pl.ds(c * chunk, chunk),)
+            + (slice(None),) * mid
+            + (pl.ds(row0, sub), slice(None))
+        )
+        return pltpu.make_async_copy(h.at[idx], b.at[slot], sems.at[slot, kk])
+
+    def out_dma(slot, c):
+        return pltpu.make_async_copy(
+            obuf.at[slot],
+            out_hbm.at[
+                pl.ds(c * chunk, chunk), slice(None), pl.ds(row0, sub),
+                slice(None),
+            ],
+            osems.at[slot],
+        )
+
+    def start_all(slot, c):
+        for kk in range(7):
+            dma(slot, c, kk).start()
+
+    def wait_all(slot, c):
+        for kk in range(7):
+            dma(slot, c, kk).wait()
+
+    start_all(0, nchunks - 1)
+
+    reg = reg_ref[0]
+    P0 = gxxT_ref[:]
+    p0 = gxT_ref[:]
+    ok0 = jnp.ones_like(reg)
+    o_k = m * n
+    o_qx = o_k + m
+    o_qu = o_qx + n
+    o_p = o_qu + m
+
+    def chunk_body(ci, carry):
+        P, p, ok = carry
+        c = nchunks - 1 - ci
+        slot = ci % 2
+
+        @pl.when(ci + 1 < nchunks)
+        def _():
+            start_all(1 - slot, c - 1)
+
+        # the output buffer slot was dispatched two chunks ago (c + 2)
+        @pl.when(ci >= 2)
+        def _():
+            out_dma(slot, c + 2).wait()
+
+        wait_all(slot, c)
+
+        for j in range(chunk - 1, -1, -1):
+            K, kff, Qx, Qu, P, p, ok = _riccati_step(
+                n, m, reg, P, p, ok,
+                fx_s[slot, j], fu_s[slot, j], gx_s[slot, j], gu_s[slot, j],
+                gxx_s[slot, j], guu_s[slot, j], gux_s[slot, j],
+            )
+            S, Lw = kff.shape[-2], kff.shape[-1]
+            obuf[slot, j, 0:o_k] = K.reshape(m * n, S, Lw)
+            obuf[slot, j, o_k:o_qx] = kff
+            obuf[slot, j, o_qx:o_qu] = Qx
+            obuf[slot, j, o_qu:o_p] = Qu
+            obuf[slot, j, o_p:] = p
+        out_dma(slot, c).start()
+        return (P, p, ok)
+
+    _, _, ok = jax.lax.fori_loop(0, nchunks, chunk_body, (P0, p0, ok0))
+    ok_ref[0] = ok
+    # drain the last (up to) two in-flight output DMAs
+    out_dma((nchunks - 1) % 2, 0).wait()
+
+    @pl.when(nchunks >= 2)
+    def _():
+        out_dma((nchunks - 2) % 2, 1).wait()
+
+
+_VMEM_BUDGET = 12 << 20  # conservative against the 16MB scoped-VMEM limit
+
+
+def _auto_chunk(n, m, sub=DEFAULT_BLOCK_B // 128):
+    """Largest chunk (<= DEFAULT_CHUNK) whose double-buffered input scratch
+    stays within ~1/3 of the VMEM budget — problem dims scale the per-step
+    packed row as F ~ 2n^2 + 2nm + m^2 (quadrotor n=12, m=4 is 9x acrobot)."""
+    *_, F = _offsets(n, m)
+    per = 2 * F * sub * 128 * 4
+    return int(max(1, min(DEFAULT_CHUNK, (_VMEM_BUDGET // 3) // per)))
+
+
+def _stream_outputs(n, m, Tp, chunk, sub=DEFAULT_BLOCK_B // 128):
+    """True when the direct [Tp, ...] VMEM output blocks would overflow the
+    budget and per-chunk output streaming must be used instead."""
+    *_, F = _offsets(n, m)
+    fo = m * n + 2 * m + 2 * n
+    direct = (2 * chunk * F + Tp * fo) * sub * 128 * 4
+    return direct > _VMEM_BUDGET
+
+
+def pad_stacks_sl(fx, fu, gx, gu, gxx, guu, gux, u_mask, chunk=None):
     """Tile-aligned [Tm1/T, *dims, S, 128] stacks -> horizon-padded + guu
     fixup, ready for ``backward_pass_multiref``.  gx/gxx include the terminal
-    row; returns (stacks_Tm1..., gxxT, gxT, meta)."""
+    row; returns (stacks_Tm1..., gxxT, gxT, meta).  ``chunk=None`` sizes the
+    DMA chunk from the problem dims (must match the kernel's)."""
     Tm1, n = fx.shape[0], fx.shape[1]
     m = fu.shape[2]
+    if chunk is None:
+        chunk = _auto_chunk(n, m)
     S_all, Lw = fx.shape[-2], fx.shape[-1]
     dtype = fx.dtype
     Tp = _round_up(Tm1, chunk)
@@ -615,16 +739,24 @@ def pad_stacks_sl(fx, fu, gx, gu, gxx, guu, gux, u_mask, chunk=DEFAULT_CHUNK):
 
 
 def backward_pass_multiref(stacks, gxxT, gxT, reg_sl, meta,
-                           block_b=DEFAULT_BLOCK_B, chunk=DEFAULT_CHUNK,
+                           block_b=DEFAULT_BLOCK_B, chunk=None,
                            interpret: bool = False):
     """v4 entry: ``stacks`` = (fx, fu, gx, gu, gxx, guu, gux) each
     [Tp, *dims, S_all, 128] (from ``pad_stacks_sl``); ``reg_sl`` is
     [S_all, 128].  Returns batch-trailing outputs like backward_pass_packed.
+
+    ``chunk=None`` sizes the DMA chunk from the problem dims (matching
+    ``pad_stacks_sl``); when the direct full-horizon VMEM output blocks
+    would overflow the scoped-VMEM budget (large nx/nu), the streamed-output
+    kernel variant is used instead.
     """
     Tm1, Tp = meta["Tm1"], meta["Tp"]
     n, m, S_all = meta["n"], meta["m"], meta["S_all"]
     dtype = stacks[0].dtype
     sub = block_b // 128
+    if chunk is None:
+        chunk = _auto_chunk(n, m, sub)
+    assert Tp % chunk == 0, (Tp, chunk)
     Bp = S_all * 128
     assert Bp % block_b == 0, (Bp, block_b)
     grid = (Bp // block_b,)
@@ -637,21 +769,9 @@ def backward_pass_multiref(stacks, gxxT, gxT, reg_sl, meta,
             memory_space=pltpu.VMEM,
         )
 
-    out_shape = (
-        jax.ShapeDtypeStruct((Tp, m, n, S_all, 128), dtype),
-        jax.ShapeDtypeStruct((Tp, m, S_all, 128), dtype),
-        jax.ShapeDtypeStruct((Tp, n, S_all, 128), dtype),
-        jax.ShapeDtypeStruct((Tp, m, S_all, 128), dtype),
-        jax.ShapeDtypeStruct((Tp, n, S_all, 128), dtype),
-        jax.ShapeDtypeStruct((1, S_all, 128), dtype),
-    )
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 7 + [
         vspec(n, n), vspec(n), vspec(1),
     ]
-    out_specs = (
-        vspec(Tp, m, n), vspec(Tp, m), vspec(Tp, n), vspec(Tp, m),
-        vspec(Tp, n), vspec(1),
-    )
     scratch = [
         pltpu.VMEM((2, chunk, n, n, sub, 128), dtype),   # fx
         pltpu.VMEM((2, chunk, n, m, sub, 128), dtype),   # fu
@@ -660,8 +780,50 @@ def backward_pass_multiref(stacks, gxxT, gxT, reg_sl, meta,
         pltpu.VMEM((2, chunk, n, n, sub, 128), dtype),   # gxx
         pltpu.VMEM((2, chunk, m, m, sub, 128), dtype),   # guu
         pltpu.VMEM((2, chunk, m, n, sub, 128), dtype),   # gux
-        pltpu.SemaphoreType.DMA((2, 7)),
     ]
+
+    if _stream_outputs(n, m, Tp, chunk, sub):
+        fo = m * n + 2 * m + 2 * n
+        out_shape = (
+            jax.ShapeDtypeStruct((Tp, fo, S_all, 128), dtype),
+            jax.ShapeDtypeStruct((1, S_all, 128), dtype),
+        )
+        out_specs = (pl.BlockSpec(memory_space=pl.ANY), vspec(1))
+        kernel = functools.partial(_kernel_mr_stream, n, m, Tp, chunk, sub)
+        packed_out, ok_t = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=scratch + [
+                pltpu.VMEM((2, chunk, fo, sub, 128), dtype),   # obuf
+                pltpu.SemaphoreType.DMA((2, 7)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+        )(*stacks, gxxT, gxT, reg_sl[None])
+        o_k = m * n
+        po = packed_out[:Tm1]
+        K_t = po[:, :o_k].reshape(Tm1, m, n, S_all, 128)
+        k_t = po[:, o_k : o_k + m]
+        Qx_t = po[:, o_k + m : o_k + m + n]
+        Qu_t = po[:, o_k + m + n : o_k + 2 * m + n]
+        p_t = po[:, o_k + 2 * m + n :]
+        return K_t, k_t, Qx_t, Qu_t, p_t, ok_t[0]
+
+    out_shape = (
+        jax.ShapeDtypeStruct((Tp, m, n, S_all, 128), dtype),
+        jax.ShapeDtypeStruct((Tp, m, S_all, 128), dtype),
+        jax.ShapeDtypeStruct((Tp, n, S_all, 128), dtype),
+        jax.ShapeDtypeStruct((Tp, m, S_all, 128), dtype),
+        jax.ShapeDtypeStruct((Tp, n, S_all, 128), dtype),
+        jax.ShapeDtypeStruct((1, S_all, 128), dtype),
+    )
+    out_specs = (
+        vspec(Tp, m, n), vspec(Tp, m), vspec(Tp, n), vspec(Tp, m),
+        vspec(Tp, n), vspec(1),
+    )
     kernel = functools.partial(_kernel_mr, n, m, Tp, chunk, sub)
     K_t, k_t, Qx_t, Qu_t, p_t, ok_t = pl.pallas_call(
         kernel,
@@ -669,7 +831,7 @@ def backward_pass_multiref(stacks, gxxT, gxT, reg_sl, meta,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=scratch,
+        scratch_shapes=scratch + [pltpu.SemaphoreType.DMA((2, 7))],
         interpret=interpret,
     )(*stacks, gxxT, gxT, reg_sl[None])
     return (

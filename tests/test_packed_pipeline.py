@@ -109,3 +109,63 @@ def test_solve_with_packed_option_matches_scan_solve():
     b = jax.jit(make_solve_fn(spec, Options(backward_pass="packed")))(xs, us, ws)
     np.testing.assert_allclose(np.asarray(a.xs), np.asarray(b.xs), atol=1e-12)
     assert int(a.iterations) == int(b.iterations)
+
+
+def test_multiref_streamed_outputs_large_dims():
+    """Quadrotor-scale dims (nx=12, nu=4, T=41): the direct full-horizon
+    VMEM output blocks would blow the 16MB scoped-VMEM limit, so
+    backward_pass_multiref must take the streamed-output kernel path
+    (packed per-chunk output DMA) and still match the scan backward."""
+    from iterativelqr_tpu.ops import packed_backward as pk
+
+    B, T, nx, nu = 1024, 41, 12, 4
+    Tm1 = T - 1
+    chunk = pk._auto_chunk(nx, nu)
+    assert pk._stream_outputs(nx, nu, pk._round_up(Tm1, chunk), chunk), \
+        "test premise: these dims must trigger output streaming"
+
+    key = jax.random.PRNGKey(3)
+    ks = jax.random.split(key, 7)
+    dtype = jnp.float32
+    fx = 0.1 * jax.random.normal(ks[0], (B, Tm1, nx, nx), dtype) + jnp.eye(
+        nx, dtype=dtype
+    )
+    fu = 0.5 * jax.random.normal(ks[1], (B, Tm1, nx, nu), dtype)
+    gx = jax.random.normal(ks[2], (B, T, nx), dtype)
+    gu = jax.random.normal(ks[3], (B, Tm1, nu), dtype)
+
+    def spd(k, rows, d, scale=1.0):
+        A = jax.random.normal(k, (B, rows, d, d), dtype)
+        return scale * (A @ jnp.swapaxes(A, -1, -2)) / d + 2.0 * jnp.eye(
+            d, dtype=dtype
+        )
+
+    gxx = spd(ks[4], T, nx, 0.5)
+    guu = spd(ks[5], Tm1, nu)
+    gux = 0.2 * jax.random.normal(ks[6], (B, Tm1, nu, nx), dtype)
+    um = jnp.ones((Tm1, nu), bool)
+
+    # SL layout [Tm1/T, *dims, S, 128]
+    S = B // 128
+    sl = lambda a: jnp.moveaxis(a, 0, -1).reshape(a.shape[1:] + (S, 128))
+    stacks = pk.pad_stacks_sl(
+        sl(fx), sl(fu), sl(gx), sl(gu), sl(gxx), sl(guu), sl(gux), um
+    )
+    stacks_p, gxxT, gxT, meta = stacks[:7], stacks[7], stacks[8], stacks[9]
+    reg_sl = jnp.zeros((S, 128), dtype)
+    out = pk.backward_pass_multiref(
+        stacks_p, gxxT, gxT, reg_sl, meta, interpret=True
+    )
+
+    ref = jax.vmap(
+        lambda *a: backward_pass_scan(*a, um, jnp.zeros((), dtype))
+    )(fx, fu, gx, gu, gxx, guu, gux)
+    unsl = lambda a: jnp.moveaxis(
+        a.reshape(a.shape[:-2] + (B,)), -1, 0
+    )
+    for name, a, b in zip(["K", "k", "Qx", "Qu", "p"], ref[:5], out[:5]):
+        np.testing.assert_allclose(
+            np.asarray(unsl(b)), np.asarray(a), rtol=3e-4, atol=3e-4,
+            err_msg=name,
+        )
+    assert bool(jnp.all(out[5] > 0.5))
