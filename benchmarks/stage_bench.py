@@ -164,6 +164,72 @@ def main():
             (xs, us, ws, K, kff, duals, penalty),
         ),
     }
+    # SL-layout stages — the production batched TPU path (core/solve_sl.py):
+    # everything [T, *dims, S, 128] with the batch on the tile axes
+    if B % 1024 == 0:
+        from iterativelqr_tpu.ops.packed_pipeline import make_derive_backward_sl
+        from iterativelqr_tpu.ops.sl_ops import SLOps, to_sl
+
+        S = B // 128
+        interp = jax.default_backend() != "tpu"
+        sl_ops = SLOps(spec, opts)
+        derive_sl = make_derive_backward_sl(spec, opts, interpret=interp)
+        xs_sl, us_sl, ws_sl = to_sl(xs, S), to_sl(us, S), to_sl(ws, S)
+        duals_sl = to_sl(duals, S)
+        pen_sl = to_sl(penalty, S)
+        reg_sl = jnp.zeros((S, 128), dtype)
+
+        @jax.jit
+        def stage_sl_objective(xs_sl, us_sl, ws_sl, duals_sl, pen_sl):
+            with prec("float32"):
+                return sl_ops.al_objective(xs_sl, us_sl, ws_sl, duals_sl, pen_sl)
+
+        J_sl, c_sl = stage_sl_objective(xs_sl, us_sl, ws_sl, duals_sl, pen_sl)
+        jax.block_until_ready(c_sl)
+
+        @jax.jit
+        def stage_sl_derive_backward(xs_sl, us_sl, ws_sl, duals_sl, pen_sl,
+                                     c_sl, reg_sl):
+            with prec("float32"):
+                return derive_sl(
+                    xs_sl, us_sl, ws_sl, duals_sl, pen_sl, c_sl, reg_sl
+                )
+
+        K_sl, k_sl, slope_sl, grad_sl, _ = stage_sl_derive_backward(
+            xs_sl, us_sl, ws_sl, duals_sl, pen_sl, c_sl, reg_sl
+        )
+        jax.block_until_ready(K_sl)
+
+        def make_sl_ls(local_opts):
+            lops = SLOps(spec, local_opts)
+
+            @jax.jit
+            def stage_sl_line_search(xs_sl, us_sl, ws_sl, K_sl, k_sl,
+                                     slope_sl, J_sl, c_sl, duals_sl, pen_sl):
+                with prec("float32"):
+                    return lops.line_search(
+                        xs_sl, us_sl, ws_sl, K_sl, k_sl, slope_sl, J_sl,
+                        c_sl, duals_sl, pen_sl,
+                    )
+
+            return stage_sl_line_search
+
+        ls_args = (xs_sl, us_sl, ws_sl, K_sl, k_sl, slope_sl, J_sl, c_sl,
+                   duals_sl, pen_sl)
+        stages.update({
+            "sl_objective_eval": (
+                stage_sl_objective, (xs_sl, us_sl, ws_sl, duals_sl, pen_sl)
+            ),
+            "sl_derive_backward_slope": (
+                stage_sl_derive_backward,
+                (xs_sl, us_sl, ws_sl, duals_sl, pen_sl, c_sl, reg_sl),
+            ),
+            "sl_line_search_full": (make_sl_ls(opts), ls_args),
+            "sl_line_search_9alpha": (
+                make_sl_ls(_dc.replace(opts, min_step_size=4.0e-3)), ls_args
+            ),
+        })
+
     for name, (fn, a) in stages.items():
         try:
             dt = timeit(fn, a, reps=args.reps)
