@@ -91,3 +91,18 @@ def test_compacted_matches_single_shot_no_repack():
         xs, us, ws
     )
     _assert_solutions_equal(out, ref)
+
+
+def test_compacted_program_cache_roundtrip(tmp_path):
+    """With cache_dir set, every driver program is exported to disk and a
+    fresh driver instance serves them from the cache (exercising _SLCarry
+    serialization through jax.export); results must match exactly."""
+    T, B = 8, 64
+    spec, xs, us, ws = _spread_batch(T, B)
+    opts = Options(batched_solver="sl", **_BASE)
+    kw = dict(chunk=4, interpret=True, cache_dir=str(tmp_path),
+              cache_key="t_compact")
+    ref = make_compacted_solve_fn(spec, opts, **kw)(xs, us, ws)
+    assert any(tmp_path.glob("t_compact_*.jaxprog")), "programs not cached"
+    out = make_compacted_solve_fn(spec, opts, **kw)(xs, us, ws)  # cache hits
+    _assert_solutions_equal(out, ref)
