@@ -65,7 +65,8 @@ class SLParts(NamedTuple):
 
 
 def make_sl_parts(
-    spec: ProblemSpec, options: Options = Options(), interpret: bool = False
+    spec: ProblemSpec, options: Options = Options(), interpret: bool = False,
+    dual_warm_start: bool = False,
 ) -> SLParts:
     if options.record_traces:
         raise ValueError("SL batched solver does not record traces; "
@@ -179,7 +180,7 @@ def make_sl_parts(
 
         return _body
 
-    def init(xs_b, us_b, ws_b):
+    def init(xs_b, us_b, ws_b, duals_b=None, pen_b=None):
         B = xs_b.shape[0]
         dtype = xs_b.dtype
         Bp = _round_up(B, 1024)
@@ -197,10 +198,18 @@ def make_sl_parts(
         xs = to_sl(pad(xs_b), S)
         us = to_sl(pad(us_b), S)
         ws = to_sl(pad(ws_b), S)
-        duals0 = jnp.zeros((T, nc, S, 128), dtype)
-        pen0 = jnp.full(
-            (T, nc, S, 128), o.initial_constraint_penalty, dtype
-        )
+        if dual_warm_start:
+            # carried multipliers/penalties from a previous solve
+            # (reference analog: repeated solve! reuses them until reset,
+            # src/solve.jl:95-103; here explicit, like make_solve_fn's
+            # dual_warm_start)
+            duals0 = to_sl(pad(duals_b), S)
+            pen0 = to_sl(pad(pen_b), S)
+        else:
+            duals0 = jnp.zeros((T, nc, S, 128), dtype)
+            pen0 = jnp.full(
+                (T, nc, S, 128), o.initial_constraint_penalty, dtype
+            )
         with jax.default_matmul_precision("float32"):
             J0, c0 = ops.al_objective(xs, us, ws, duals0, pen0)
         zi = jnp.zeros((S, 128), jnp.int32)
@@ -256,17 +265,23 @@ def make_sl_parts(
 
 
 def make_batched_solve_sl(
-    spec: ProblemSpec, options: Options = Options(), interpret: bool = False
+    spec: ProblemSpec, options: Options = Options(), interpret: bool = False,
+    dual_warm_start: bool = False,
 ):
     """Build ``(xs [B,T,nx], us [B,T-1,nu], ws [B,T,npar]) -> Solution``
-    (batch-leading Solution, like make_batched_solve_fn)."""
-    parts = make_sl_parts(spec, options, interpret=interpret)
+    (batch-leading Solution, like make_batched_solve_fn).  With
+    ``dual_warm_start`` the callable takes two extra batch-leading arrays
+    ``(duals0 [B,T,nc], penalty0 [B,T,nc])`` — carried multipliers for
+    re-solves (batched MPC farms)."""
+    parts = make_sl_parts(
+        spec, options, interpret=interpret, dual_warm_start=dual_warm_start
+    )
 
-    def solve_batch(xs_init, us_init, ws_b) -> Solution:
+    def solve_batch(xs_init, us_init, ws_b, *warm) -> Solution:
         B = xs_init.shape[0]
         # full-f32 matmul precision: see the note in core/solve.py::solve
         # (applied inside each part; the while_loop body re-enters it)
-        carry, ws = parts.init(xs_init, us_init, ws_b)
+        carry, ws = parts.init(xs_init, us_init, ws_b, *warm)
         s = jax.lax.while_loop(
             lambda s: ~jnp.all(s.stop), parts.body(ws), carry
         )

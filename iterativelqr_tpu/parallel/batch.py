@@ -41,6 +41,7 @@ def make_batched_solve_fn(
     callback: Optional[Callable] = None,
     in_axes=(0, 0, 0),
     interpret: bool = False,
+    dual_warm_start: bool = False,
 ):
     """Build ``(xs_init [B,T,nx], us_init [B,T-1,nu], ws [B,T,npar]) -> Solution``
     with a leading batch axis on every Solution leaf.
@@ -48,6 +49,11 @@ def make_batched_solve_fn(
     ``in_axes`` follows vmap semantics over (xs_init, us_init, ws); pass None
     for an argument shared across the batch (e.g. one parameter trajectory for
     all initial conditions).
+
+    ``dual_warm_start`` adds two batch-leading arguments
+    ``(duals0 [B,T,nc], penalty0 [B,T,nc])`` — carried multipliers/penalties
+    for warm re-solves (batched MPC farms), mirroring
+    ``make_solve_fn(dual_warm_start=True)``.
 
     Implementation is selected by ``options.batched_solver``: the SL-layout
     solver (core/solve_sl.py — the whole loop tile-aligned ``[T,*dims,S,128]``)
@@ -60,19 +66,23 @@ def make_batched_solve_fn(
         and _sl_eligible(options, callback)
         and (interpret or jax.default_backend() == "tpu")
     )
+    eff_in_axes = tuple(in_axes) + ((0, 0) if dual_warm_start else ())
     if use_sl:
         from ..core.solve_sl import make_batched_solve_sl
 
-        solve_sl = make_batched_solve_sl(spec, options, interpret=interpret)
+        solve_sl = make_batched_solve_sl(
+            spec, options, interpret=interpret,
+            dual_warm_start=dual_warm_start,
+        )
 
-        def solve_batch(xs_init, us_init, ws) -> Solution:
-            args = [xs_init, us_init, ws]
+        def solve_batch(*args) -> Solution:
+            args = list(args)
             # honor vmap-style in_axes: broadcast unbatched (None) arguments
             B = None
-            for a, ax in zip(args, in_axes):
+            for a, ax in zip(args, eff_in_axes):
                 if ax is not None:
                     B = a.shape[0]
-            for i, ax in enumerate(in_axes):
+            for i, ax in enumerate(eff_in_axes):
                 if ax is None:
                     args[i] = jnp.broadcast_to(
                         args[i][None], (B,) + args[i].shape
@@ -81,8 +91,9 @@ def make_batched_solve_fn(
 
         return solve_batch
 
-    solve = make_solve_fn(spec, options, callback)
-    return jax.vmap(solve, in_axes=in_axes)
+    solve = make_solve_fn(spec, options, callback,
+                          dual_warm_start=dual_warm_start)
+    return jax.vmap(solve, in_axes=eff_in_axes)
 
 
 class BatchStats(NamedTuple):

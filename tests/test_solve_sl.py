@@ -213,3 +213,37 @@ def test_sl_matches_vmap_with_early_round_cap():
     np.testing.assert_allclose(
         np.asarray(out.penalty), np.asarray(ref.penalty), rtol=1e-5
     )
+
+
+def test_sl_dual_warm_start_matches_vmap():
+    """Batched dual warm start through the SL solver must match the vmapped
+    warm per-instance solve (batched-MPC re-solve path)."""
+    B = 3
+    spec, xs, us, ws = _batch(car, 8, B, 0.01)
+    base = dict(_BASE)
+    # carried duals/penalties from a cold solve
+    cold = make_batched_solve_fn(
+        spec, Options(batched_solver="sl", **base), interpret=True
+    )(xs, us, ws)
+    duals0, pen0 = cold.duals, cold.penalty
+    ref = make_batched_solve_fn(
+        spec, Options(batched_solver="vmap", **base), dual_warm_start=True
+    )(xs, us, ws, duals0, pen0)
+    out = make_batched_solve_fn(
+        spec, Options(batched_solver="sl", **base), interpret=True,
+        dual_warm_start=True,
+    )(xs, us, ws, duals0, pen0)
+    np.testing.assert_array_equal(
+        np.asarray(out.iterations), np.asarray(ref.iterations)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.xs), np.asarray(ref.xs), rtol=2e-3, atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.objective), np.asarray(ref.objective),
+        rtol=2e-3, atol=2e-3,
+    )
+    # warm solves converge at least as fast as cold ones
+    assert int(np.max(np.asarray(out.iterations))) <= int(
+        np.max(np.asarray(cold.iterations))
+    )
