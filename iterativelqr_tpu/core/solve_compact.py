@@ -63,6 +63,7 @@ def make_compacted_solve_fn(
     interpret: bool = False,
     cache_dir: str | None = None,
     cache_key: str | None = None,
+    dual_warm_start: bool = False,
 ):
     """Build a host-callable ``(xs [B,T,nx], us, ws) -> Solution``.
 
@@ -70,8 +71,12 @@ def make_compacted_solve_fn(
     ``shrink``: only re-pack when the live set fits in ``B_cur / shrink``.
     ``cache_dir``/``cache_key``: serve each per-shape program from the
     jax.export program cache under this key prefix.
+    ``dual_warm_start``: the callable takes two extra batch-leading arrays
+    ``(duals0 [B,T,nc], penalty0 [B,T,nc])``.
     """
-    parts = make_sl_parts(spec, options, interpret=interpret)
+    parts = make_sl_parts(
+        spec, options, interpret=interpret, dual_warm_start=dual_warm_start
+    )
 
     def _chunk_host(carry, ws, n_iters):
         # n_iters is TRACED (one compiled program per batch shape serves any
@@ -129,13 +134,13 @@ def make_compacted_solve_fn(
     init_fns, finish_fns = {}, {}
     chunk_fns, gather_fns, scatter_fns = {}, {}, {}
 
-    def solve(xs_b, us_b, ws_b) -> Solution:
+    def solve(xs_b, us_b, ws_b, *warm) -> Solution:
         B = int(xs_b.shape[0])
         if B not in init_fns:
             init_fns[B] = _cached(
-                lambda: parts.init, f"init_B{B}", (xs_b, us_b, ws_b)
+                lambda: parts.init, f"init_B{B}", (xs_b, us_b, ws_b, *warm)
             )
-        carry, ws_full = init_fns[B](xs_b, us_b, ws_b)
+        carry, ws_full = init_fns[B](xs_b, us_b, ws_b, *warm)
         Bp = carry.stop.shape[-2] * 128
 
         def run_chunk(carry, ws):
