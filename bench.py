@@ -18,10 +18,51 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 import argparse
 import json
 import os
+import subprocess
 import sys
 import time
 
 os.environ.setdefault("XLA_FLAGS", "")
+
+
+def acquire_backend(max_attempts=5, probe_timeout=120, backoff=60, overall_cap=600):
+    """Probe backend liveness in a subprocess before in-process jax init.
+
+    ``jax.devices()`` through the tunneled TPU backend has been observed to
+    hang ~20 minutes in PJRT client init and then die with UNAVAILABLE when
+    the tunnel is down (round-2 bench loss).  In-process there is no way to
+    bound that, so each probe runs ``jax.devices()`` in a subprocess with a
+    hard timeout; on success the parent's own init is fast (tunnel verified
+    live seconds ago).  Bounded retries with backoff, overall cap ~10 min.
+
+    Returns the probed platform string on success, or ``None`` after the
+    final failed attempt so the caller can emit one parseable JSON error
+    line and exit quickly instead of hanging.
+    """
+    deadline = time.time() + overall_cap
+    last_err = ""
+    for attempt in range(1, max_attempts + 1):
+        budget = min(probe_timeout, max(5, deadline - time.time()))
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; d = jax.devices(); print(d[0].platform)"],
+                capture_output=True, text=True, timeout=budget,
+            )
+            if out.returncode == 0 and out.stdout.strip():
+                return out.stdout.strip().splitlines()[-1]
+            last_err = (out.stderr or "").strip().splitlines()[-1:] or ["rc!=0"]
+            last_err = last_err[0][-200:]
+        except subprocess.TimeoutExpired:
+            last_err = f"probe timed out after {budget:.0f}s"
+        print(
+            f"[bench] backend probe attempt {attempt}/{max_attempts} failed: "
+            f"{last_err}", file=sys.stderr, flush=True,
+        )
+        if attempt == max_attempts or time.time() + backoff > deadline:
+            break
+        time.sleep(backoff)
+    return None
 
 
 def measure_baseline(T, cache_path):
@@ -89,6 +130,25 @@ def main():
     args = ap.parse_args()
     if args.quick:
         args.batch, args.reps = 64, 1
+
+    platform = acquire_backend()
+    if platform is None:
+        # One parseable line, fast — never a 20-minute hang + traceback
+        # (round-2 bench was lost to exactly that; VERDICT.md item 1).
+        print(
+            json.dumps(
+                {
+                    "metric": f"acrobot_T{args.horizon}_al_ilqr_solves_per_sec_per_chip",
+                    "value": None,
+                    "unit": "solves/s/chip",
+                    "error": "backend_unavailable",
+                    "detail": "jax.devices() probe failed after bounded retries "
+                    "(tunneled TPU backend down); see stderr for attempts",
+                }
+            ),
+            flush=True,
+        )
+        sys.exit(1)
 
     import jax
     import jax.numpy as jnp

@@ -54,6 +54,12 @@ class Solver:
                     self._ws = self._ws.at[t, : w.shape[0]].set(w)
 
         self._solve_fn = jax.jit(make_solve_fn(self.spec, options, callback))
+        self._callback = callback
+        # built lazily on first warm solve (a second traced program; users who
+        # never warm-solve should not pay its trace time)
+        self._warm_solve_fn = None
+        self._duals = None
+        self._penalty = None
         self.solution: Optional[Solution] = None
 
     # -- warm start (reference: src/solver.jl:56-66) --------------------------
@@ -80,17 +86,54 @@ class Solver:
 
     # -- solve ----------------------------------------------------------------
 
-    def solve(self, verbose: Optional[bool] = None) -> Solution:
+    def solve(
+        self, verbose: Optional[bool] = None, warm_start: bool = False
+    ) -> Solution:
+        """Solve from the current nominal trajectory.
+
+        ``warm_start=True`` additionally carries the duals and penalties
+        retained from the previous solve (reference: repeated ``solve!``
+        reuses ``problem.objective.duals``/``penalties`` until
+        ``reset_duals!``/``reset_penalties!``, src/solve.jl:95-103).  The
+        nominal trajectory is always promoted between solves; duals are only
+        reused when asked, because stale duals for a *changed* problem
+        (new parameters, different target) can mislead the first AL rounds.
+        """
         verbose = self.options.verbose if verbose is None else verbose
         if verbose:
             solver_info()
-        sol = self._solve_fn(self._xs, self._us, self._ws)
+        if warm_start and self._duals is not None:
+            if self._warm_solve_fn is None:
+                self._warm_solve_fn = jax.jit(
+                    make_solve_fn(
+                        self.spec, self.options, self._callback,
+                        dual_warm_start=True,
+                    )
+                )
+            sol = self._warm_solve_fn(
+                self._xs, self._us, self._ws, self._duals, self._penalty
+            )
+        else:
+            sol = self._solve_fn(self._xs, self._us, self._ws)
         self.solution = sol
-        # promote the solved nominal for subsequent warm-started solves
+        # promote the solved nominal + AL state for subsequent warm solves
         self._xs, self._us = sol.xs, sol.us
+        self._duals, self._penalty = sol.duals, sol.penalty
         if verbose:
             print_solution(sol)
         return sol
+
+    def warm_solve(self, verbose: Optional[bool] = None) -> Solution:
+        """``solve(warm_start=True)``: re-solve carrying duals/penalties from
+        the previous solution (falls back to a cold solve if none exists)."""
+        return self.solve(verbose=verbose, warm_start=True)
+
+    def reset_duals(self):
+        """Drop retained duals/penalties so the next solve cold-starts the AL
+        state (reference: src/solve.jl reset between unrelated problems)."""
+        self._duals = None
+        self._penalty = None
+        return self
 
     # -- accessors ------------------------------------------------------------
 

@@ -125,6 +125,42 @@ def test_dual_warm_start_signature():
     assert int(sol_warm.al_iterations) <= int(sol_cold.al_iterations)
 
 
+def test_solver_shell_warm_solve():
+    """Solver.solve(warm_start=True)/warm_solve() carries duals+penalties
+    from the previous solution (reference: repeated solve! reuses
+    objective.duals until reset, src/solve.jl:95-103) — the warm re-solve
+    must need fewer AL rounds than the first, and reset_duals() must restore
+    cold-start behavior."""
+    from iterativelqr_tpu import Options, Solver
+    from iterativelqr_tpu.models import particle
+    from iterativelqr_tpu.ops.rollout import rollout
+
+    T = 11
+    dynamics, objective, constraints, x1, xT = particle.problem(T)
+    solver = Solver(dynamics, objective, constraints,
+                    options=Options(verbose=False))
+    us0 = [jnp.zeros(1)] * (T - 1)
+    solver.initialize_controls(us0)
+    solver.initialize_states(rollout(dynamics, x1, us0))
+    sol_cold = solver.solve()
+    assert float(sol_cold.max_violation) <= 5e-3
+
+    # warm re-solve from the converged nominal + carried duals: the AL state
+    # is already correct, so it must finish in strictly fewer dual updates
+    sol_warm = solver.warm_solve()
+    assert float(sol_warm.max_violation) <= 5e-3
+    assert int(sol_warm.al_iterations) < int(sol_cold.al_iterations)
+    assert int(sol_warm.iterations) <= int(sol_cold.iterations)
+
+    # reset drops the carried duals: the next warm_solve falls back to cold
+    # AL state (same duals0 as a cold solve => al_iterations go back up for a
+    # perturbed start)
+    solver.reset_duals()
+    assert solver._duals is None
+    sol_after_reset = solver.warm_solve()  # falls back to cold path
+    assert float(sol_after_reset.max_violation) <= 5e-3
+
+
 def test_checkpoint_numeric_leaf_order(tmp_path):
     """Leaf keys must restore in numeric order even when pad widths are mixed
     (a lexicographic sort puts leaf_10000 before leaf_2000)."""
