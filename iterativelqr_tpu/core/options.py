@@ -121,6 +121,21 @@ class Options:
     # max_iterations (exact reference semantics). ---
     early_round_iteration_cap: "int | None" = None
 
+    # --- new: consecutive-truncation limit for early_round_iteration_cap.
+    # An instance may truncate at most this many AL rounds IN A ROW; the
+    # next round then runs to natural completion (and so performs a proper
+    # dual ascent).  Rationale: an unbroken run of truncated rounds is pure
+    # penalty continuation — the penalty escalates a decade per round while
+    # the duals never ascend, and the hardest instances were measured to
+    # ride that to max_penalty ill-conditioning and exit infeasible
+    # (2/4096 at cap=32 with no limit, the round-2 "schedule-fragile"
+    # failures).  Forcing a full round every few truncations restores the
+    # dual ascent the AL method's convergence rests on (reference ascent
+    # rule: src/augmented_lagrangian.jl:87-110) while keeping the cap's
+    # savings on the rounds that dominate.  Ignored when
+    # early_round_iteration_cap is None. ---
+    max_consecutive_truncations: int = 2
+
     # --- new: hard TOTAL inner-iteration budget across all AL rounds
     # (real-time-iteration mode; None = unlimited).  Unlike max_iterations
     # (a PER-ROUND cap), exhausting this budget stops the solve outright —
@@ -154,6 +169,8 @@ class Options:
         if (self.early_round_iteration_cap is not None
                 and self.early_round_iteration_cap < 1):
             raise ValueError("early_round_iteration_cap must be >= 1")
+        if self.max_consecutive_truncations < 1:
+            raise ValueError("max_consecutive_truncations must be >= 1")
 
     @property
     def num_step_sizes(self) -> int:

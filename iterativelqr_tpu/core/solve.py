@@ -108,6 +108,7 @@ class _FusedCarry(NamedTuple):
     step_size: jax.Array
     viol: jax.Array
     stop: jax.Array
+    trunc_streak: jax.Array
     trace_cost: jax.Array
     trace_grad: jax.Array
     trace_viol: jax.Array
@@ -131,6 +132,7 @@ class _OuterCarry(NamedTuple):
     viol_prev: jax.Array
     status: jax.Array
     step_size: jax.Array
+    trunc_streak: jax.Array
     K: jax.Array
     k: jax.Array
     trace_cost: jax.Array
@@ -406,6 +408,7 @@ def make_solve_fn(
             total_it=jnp.asarray(0),
             status=jnp.asarray(True), step_size=jnp.ones((), dtype),
             viol=viol_of(c0), stop=jnp.asarray(False),
+            trunc_streak=jnp.asarray(0),
             trace_cost=zt, trace_grad=zt, trace_viol=zt, trace_step=zt,
             trace_mask=jnp.zeros(zt.shape, bool),
         )
@@ -459,11 +462,18 @@ def make_solve_fn(
                 # the FIRST round (lambda=0, rho=rho0) always runs to natural
                 # completion: it establishes the nominal trajectory, and
                 # truncating it mid-swing was measured to strand the hardest
-                # instances in a line-search-failure/ascent doom loop
+                # instances in a line-search-failure/ascent doom loop.
+                # Consecutive truncations are limited (max_consecutive_
+                # truncations): after the streak the round must run to its
+                # natural end so a real dual ascent fires — an unbroken
+                # truncation run escalates the penalty with no ascent and
+                # was measured to strand 2/4096 instances infeasible.
                 cap_fired = (
                     (inner1 >= options.early_round_iteration_cap)
                     & (s.al_it > 0)
                     & (s.al_it + 1 < options.max_dual_updates)
+                    & (s.trunc_streak
+                       < options.max_consecutive_truncations)
                 )
                 truncated = cap_fired & ~round_end
                 round_end = round_end | cap_fired
@@ -546,6 +556,11 @@ def make_solve_fn(
                 total_it=s.total_it + 1,
                 status=status, step_size=step, viol=viol,
                 stop=solve_done,
+                trunc_streak=jnp.where(
+                    round_end,
+                    jnp.where(truncated, s.trunc_streak + 1, 0),
+                    s.trunc_streak,
+                ),
                 trace_cost=s.trace_cost.at[ai, ii].set(J_n) if rt else s.trace_cost,
                 trace_grad=s.trace_grad.at[ai, ii].set(grad_norm) if rt else s.trace_grad,
                 trace_viol=s.trace_viol.at[ai, ii].set(viol) if rt else s.trace_viol,
@@ -596,6 +611,7 @@ def make_solve_fn(
             viol_prev=jnp.asarray(jnp.inf, dtype),
             status=jnp.asarray(True),
             step_size=jnp.ones((), dtype),
+            trunc_streak=jnp.asarray(0),
             K=jnp.zeros((T - 1, spec.nu, spec.nx), dtype),
             k=jnp.zeros((T - 1, spec.nu), dtype),
             trace_cost=zt, trace_grad=zt, trace_viol=zt, trace_step=zt,
@@ -617,10 +633,14 @@ def make_solve_fn(
             it_cap = None
             if options.early_round_iteration_cap is not None:
                 # last possible round runs to max_iterations; earlier rounds
-                # are truncated (inexact early rounds, options.py)
+                # are truncated (inexact early rounds, options.py).  A round
+                # after max_consecutive_truncations straight truncations also
+                # runs full, so a real dual ascent fires (options.py)
                 it_cap = jnp.where(
                     (s.al_it == 0)
-                    | (s.al_it + 1 >= options.max_dual_updates),
+                    | (s.al_it + 1 >= options.max_dual_updates)
+                    | (s.trunc_streak
+                       >= options.max_consecutive_truncations),
                     options.max_iterations,
                     options.early_round_iteration_cap,
                 )
@@ -692,6 +712,7 @@ def make_solve_fn(
                 J=inner.J, grad_norm=inner.grad_norm, viol=viol_fresh,
                 viol_prev=viol_fresh,
                 status=inner.status, step_size=inner.step_size,
+                trunc_streak=jnp.where(truncated, s.trunc_streak + 1, 0),
                 K=inner.K, k=inner.k,
                 trace_cost=s.trace_cost.at[s.al_it].set(inner.tr_cost) if options.record_traces else s.trace_cost,
                 trace_grad=s.trace_grad.at[s.al_it].set(inner.tr_grad) if options.record_traces else s.trace_grad,

@@ -37,6 +37,8 @@ is TPU-native batch-scheduling machinery.
 
 from __future__ import annotations
 
+import dataclasses
+
 import numpy as np
 
 import jax
@@ -64,6 +66,7 @@ def make_compacted_solve_fn(
     cache_dir: str | None = None,
     cache_key: str | None = None,
     dual_warm_start: bool = False,
+    rescue: bool = True,
 ):
     """Build a host-callable ``(xs [B,T,nx], us, ws) -> Solution``.
 
@@ -73,28 +76,48 @@ def make_compacted_solve_fn(
     jax.export program cache under this key prefix.
     ``dual_warm_start``: the callable takes two extra batch-leading arrays
     ``(duals0 [B,T,nc], penalty0 [B,T,nc])``.
+    ``rescue``: with ``early_round_iteration_cap`` set, any instance that
+    exits infeasible under the truncated schedule is RE-SOLVED from its
+    original inputs at the exact uncapped schedule (in one small
+    grain-sized batch) and its Solution rows replaced — so the capped
+    driver's solved set is always a superset of the uncapped solver's.
+    The rescue programs are built lazily (first failure) and only exist
+    when a cap is configured; a rescue re-solve costs one extra dispatch
+    of a _GRAIN-sized batch, paid only on the rare capped-schedule miss.
     """
     parts = make_sl_parts(
         spec, options, interpret=interpret, dual_warm_start=dual_warm_start
     )
+    rescue_parts = None
+    if rescue and options.early_round_iteration_cap is not None:
+        rescue_parts = make_sl_parts(
+            spec,
+            dataclasses.replace(options, early_round_iteration_cap=None),
+            interpret=interpret, dual_warm_start=dual_warm_start,
+        )
 
-    def _chunk_host(carry, ws, n_iters):
-        # n_iters is TRACED (one compiled program per batch shape serves any
-        # dispatch size — the driver grows dispatches after compaction to
-        # cut host-sync round trips, which cost ~10-30ms each through the
-        # tunneled backend)
-        body = parts.body(ws)
+    def _mk_chunk_host(p):
+        def _chunk_host(carry, ws, n_iters):
+            # n_iters is TRACED (one compiled program per batch shape serves
+            # any dispatch size — the driver grows dispatches after
+            # compaction to cut host-sync round trips, which cost ~10-30ms
+            # each through the tunneled backend)
+            body = p.body(ws)
 
-        def cond(st):
-            i, s = st
-            return (i < n_iters) & ~jnp.all(s.stop)
+            def cond(st):
+                i, s = st
+                return (i < n_iters) & ~jnp.all(s.stop)
 
-        def step(st):
-            i, s = st
-            return i + 1, body(s)
+            def step(st):
+                i, s = st
+                return i + 1, body(s)
 
-        _, s = jax.lax.while_loop(cond, step, (jnp.int32(0), carry))
-        return s
+            _, s = jax.lax.while_loop(cond, step, (jnp.int32(0), carry))
+            return s
+
+        return _chunk_host
+
+    _chunk_host = _mk_chunk_host(parts)
 
     def _gather_host(carry, ws, idx):
         # idx [B'] int32 lane indices into the flattened (S,128) batch
@@ -133,6 +156,46 @@ def make_compacted_solve_fn(
     # a cached program per call would dominate the solve otherwise)
     init_fns, finish_fns = {}, {}
     chunk_fns, gather_fns, scatter_fns = {}, {}, {}
+    rescue_fns = {}
+
+    def _run_rescue(sol, failed, xs_b, us_b, ws_b, warm):
+        # exact-schedule re-solve of the failed lanes, from their ORIGINAL
+        # inputs: per-lane results are bitwise those of the uncapped
+        # single-shot SL solver.  One dispatch: the while loop inside the
+        # chunk program runs to all-stop under the uncapped worst-case
+        # iteration bound.
+        Br = max(_GRAIN, _round_up(failed.size, _GRAIN))
+        sel = np.resize(failed, Br)  # tile to fill; replicas discarded
+        ins = tuple(
+            jnp.asarray(np.asarray(a)[sel]) for a in (xs_b, us_b, ws_b, *warm)
+        )
+        n_bound = jnp.int32(options.max_iterations * options.max_dual_updates)
+        if Br not in rescue_fns:
+            init_r = _cached(
+                lambda: rescue_parts.init, f"rescue_init_B{Br}", ins
+            )
+            carry0, ws_r0 = init_r(*ins)
+            chunk_r = _cached(
+                lambda: _mk_chunk_host(rescue_parts), f"rescue_chunk_B{Br}",
+                (carry0, ws_r0, n_bound),
+            )
+            # example args need only shapes/dtypes: the post-chunk carry is
+            # the same pytree as the initial one
+            finish_r = _cached(
+                lambda: lambda c, w: rescue_parts.finish(c, w, Br),
+                f"rescue_finish_B{Br}", (carry0, ws_r0),
+            )
+            rescue_fns[Br] = (init_r, chunk_r, finish_r)
+        init_r, chunk_r, finish_r = rescue_fns[Br]
+        carry_r, ws_r = init_r(*ins)
+        sol_r = finish_r(chunk_r(carry_r, ws_r, n_bound), ws_r)
+
+        def patch(a_full, a_small):
+            a = np.array(a_full)
+            a[failed] = np.asarray(a_small)[: failed.size]
+            return jnp.asarray(a)
+
+        return jax.tree.map(patch, sol, sol_r)
 
     def solve(xs_b, us_b, ws_b, *warm) -> Solution:
         B = int(xs_b.shape[0])
@@ -209,6 +272,13 @@ def make_compacted_solve_fn(
                 lambda: lambda c, w: parts.finish(c, w, B),
                 f"finish_B{B}", (carry_full, ws_full),
             )
-        return finish_fns[B](carry_full, ws_full)
+        sol = finish_fns[B](carry_full, ws_full)
+
+        if rescue_parts is not None:
+            viol = np.asarray(sol.max_violation)
+            failed = np.flatnonzero(viol > options.constraint_tolerance)
+            if failed.size:
+                sol = _run_rescue(sol, failed, xs_b, us_b, ws_b, warm)
+        return sol
 
     return solve

@@ -50,6 +50,7 @@ class _SLCarry(NamedTuple):
     step_size: jax.Array
     viol: jax.Array
     stop: jax.Array      # [S, L] bool
+    trunc_streak: jax.Array  # [S, L] int32
 
 
 class SLParts(NamedTuple):
@@ -119,11 +120,14 @@ def make_sl_parts(
                 # inexact early rounds: penalty-continuation truncation —
                 # no ascent, no dual-budget consumption; termination via the
                 # uncapped worst-case bound (core/solve.py fused body)
-                # first round never truncates (core/solve.py fused body note)
+                # first round never truncates; consecutive truncations are
+                # limited so a real dual ascent still fires
+                # (core/solve.py fused body note; options.py)
                 cap_fired = (
                     (inner1 >= o.early_round_iteration_cap)
                     & (s.al_it > 0)
                     & (s.al_it + 1 < o.max_dual_updates)
+                    & (s.trunc_streak < o.max_consecutive_truncations)
                 )
                 truncated = cap_fired & ~round_end
                 round_end = round_end | cap_fired
@@ -176,6 +180,14 @@ def make_sl_parts(
                 status=w(status, s.status), step_size=w(step, s.step_size),
                 viol=w(viol, s.viol),
                 stop=w(solve_done, s.stop),
+                trunc_streak=w(
+                    jnp.where(
+                        round_end,
+                        jnp.where(truncated, s.trunc_streak + 1, 0),
+                        s.trunc_streak,
+                    ),
+                    s.trunc_streak,
+                ),
             )
 
         return _body
@@ -222,6 +234,7 @@ def make_sl_parts(
             step_size=jnp.ones((S, 128), dtype),
             viol=ops.max_violation(c0),
             stop=jnp.zeros((S, 128), bool),
+            trunc_streak=zi,
         )
         return carry, ws
 

@@ -129,3 +129,64 @@ def test_compacted_dual_warm_start():
         spec, opts, chunk=4, interpret=True, dual_warm_start=True
     )(xs, us, ws, cold.duals, cold.penalty)
     _assert_solutions_equal(out, ref)
+
+
+def test_rescue_resolves_capped_failures():
+    """Any lane the truncated (early_round_iteration_cap) schedule leaves
+    infeasible must be re-solved at the exact uncapped schedule and patched
+    into the Solution: the capped driver's solved set is a superset of the
+    uncapped solver's.  Scenario: frozen penalty (scaling_penalty=1) makes
+    feasibility REQUIRE dual ascent; cap=1 with the limiter disabled
+    (max_consecutive_truncations=999) never ascends, so at least one lane
+    exits infeasible and triggers the rescue."""
+    T, B = 8, 16
+    dynamics, objective, constraints, x1, _ = car.problem(T)
+    spec = build_spec(dynamics, objective, constraints)
+    x0 = jnp.zeros((B, spec.nx), jnp.float32).at[:, : x1.shape[0]].set(
+        x1.astype(jnp.float32)
+    ) + 0.1 * jax.random.normal(jax.random.PRNGKey(11), (B, spec.nx),
+                                jnp.float32)
+    us = jnp.full((B, T - 1, spec.nu), 0.01, jnp.float32)
+    ws = jnp.zeros((B, T, max(spec.npar, 0)), jnp.float32)
+    from iterativelqr_tpu.ops.rollout import open_loop_rollout
+
+    xs = jax.vmap(lambda x, u, w: open_loop_rollout(spec, x, u, w))(
+        x0, us, ws
+    )
+    opts = Options(
+        record_traces=False, backward_pass="packed", max_iterations=10,
+        max_dual_updates=10, batched_solver="sl",
+        scaling_penalty=1.0, adaptive_penalty=False,
+        early_round_iteration_cap=1, max_consecutive_truncations=999,
+    )
+    tol = opts.constraint_tolerance
+    bare = make_compacted_solve_fn(
+        spec, opts, chunk=8, interpret=True, rescue=False
+    )(xs, us, ws)
+    failed = np.flatnonzero(np.asarray(bare.max_violation) > tol)
+    assert failed.size >= 1, "scenario no longer exercises the failure mode"
+    out = make_compacted_solve_fn(
+        spec, opts, chunk=8, interpret=True, rescue=True
+    )(xs, us, ws)
+    v = np.asarray(out.max_violation)
+    assert bool((v <= tol).all()), f"rescue left lanes infeasible: {v.max()}"
+    # rescued rows are exactly the uncapped solver's iterate sequence;
+    # untouched rows are exactly the capped driver's
+    import dataclasses as _dc
+
+    ref = make_batched_solve_fn(
+        spec, _dc.replace(opts, early_round_iteration_cap=None),
+        interpret=True,
+    )(xs, us, ws)
+    ok = np.setdiff1d(np.arange(B), failed)
+    for name in ("xs", "us", "objective", "max_violation", "iterations",
+                 "duals", "penalty"):
+        a = np.asarray(getattr(out, name))
+        np.testing.assert_array_equal(
+            a[failed], np.asarray(getattr(ref, name))[failed],
+            err_msg=f"{name} (rescued rows)",
+        )
+        np.testing.assert_array_equal(
+            a[ok], np.asarray(getattr(bare, name))[ok],
+            err_msg=f"{name} (untouched rows)",
+        )

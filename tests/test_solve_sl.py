@@ -247,3 +247,60 @@ def test_sl_dual_warm_start_matches_vmap():
     assert int(np.max(np.asarray(out.iterations))) <= int(
         np.max(np.asarray(cold.iterations))
     )
+
+
+def test_consecutive_truncation_limiter_restores_convergence():
+    """With a frozen penalty (scaling_penalty=1) feasibility REQUIRES dual
+    ascent — an unbroken run of truncated rounds (no ascent) can never
+    converge.  max_consecutive_truncations forces a full round (and so a
+    real ascent) after each streak: the default limiter must recover every
+    instance the unlimited-truncation schedule loses, matching the uncapped
+    solve; and the vmap path must agree with the SL path on the limiter's
+    iterate sequence.  (AL ascent semantics:
+    /root/reference/src/augmented_lagrangian.jl:87-110.)"""
+    T, B = 8, 16
+    dynamics, objective, constraints, x1, _ = car.problem(T)
+    spec = build_spec(dynamics, objective, constraints)
+    # spread wide enough that at least one instance needs the ascent the
+    # unlimited-truncation schedule denies it
+    x0 = jnp.zeros((B, spec.nx), jnp.float32).at[:, : x1.shape[0]].set(
+        x1.astype(jnp.float32)
+    ) + 0.1 * jax.random.normal(jax.random.PRNGKey(11), (B, spec.nx),
+                                jnp.float32)
+    us = jnp.full((B, T - 1, spec.nu), 0.01, jnp.float32)
+    ws = jnp.zeros((B, T, max(spec.npar, 0)), jnp.float32)
+    xs = jax.vmap(lambda x, u, w: open_loop_rollout(spec, x, u, w))(
+        x0, us, ws
+    )
+    base = dict(
+        record_traces=False, backward_pass="packed", max_iterations=10,
+        max_dual_updates=10, batched_solver="sl",
+        scaling_penalty=1.0, adaptive_penalty=False,
+    )
+
+    def run(**kw):
+        return make_batched_solve_fn(
+            spec, Options(**base, **kw), interpret=True
+        )(xs, us, ws)
+
+    tol = Options(**base).constraint_tolerance
+    ref = run()  # uncapped
+    assert bool((np.asarray(ref.max_violation) <= tol).all())
+    # limiter disabled: pure penalty-continuation, at least one lane stuck
+    loose = run(early_round_iteration_cap=1, max_consecutive_truncations=999)
+    n_stuck = int((np.asarray(loose.max_violation) > tol).sum())
+    assert n_stuck >= 1, "scenario no longer exercises the failure mode"
+    # default limiter: every lane recovered
+    lim = run(early_round_iteration_cap=1)
+    assert bool((np.asarray(lim.max_violation) <= tol).all())
+    # and the vmap path implements the same limiter semantics
+    lim_vmap = make_batched_solve_fn(
+        spec, Options(**{**base, "batched_solver": "vmap"},
+                      early_round_iteration_cap=1)
+    )(xs, us, ws)
+    np.testing.assert_array_equal(
+        np.asarray(lim.iterations), np.asarray(lim_vmap.iterations)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(lim.al_iterations), np.asarray(lim_vmap.al_iterations)
+    )
