@@ -89,8 +89,6 @@ class Options:
     # --- new: backward-pass implementation selector ---
     # "scan": sequential reverse lax.scan (default, matches reference recursion)
     # "associative": jax.lax.associative_scan parallel-prefix Riccati (O(log T) depth)
-    # "pallas": fused whole-recursion TPU kernel for batched solves
-    #           (ops/pallas_backward.py); single-instance calls fall back to scan
     # "packed": layout-aware fused derive -> chunked pallas backward pipeline
     #           (ops/packed_pipeline.py): under vmap the whole derivative +
     #           backward + Armijo-slope chain runs batch-trailing so the
@@ -158,8 +156,18 @@ class Options:
     def __post_init__(self):
         if self.line_search not in ("armijo", "none"):
             raise ValueError(f"unknown line_search {self.line_search!r}")
+        if self.backward_pass == "pallas":
+            # the v1 whole-recursion kernel is superseded by "packed"
+            # (measured: isolated win, end-to-end loss — docs/design.md
+            # section 4); kept as an internal experiment, not a selector
+            raise ValueError(
+                'backward_pass="pallas" was demoted to an internal '
+                'experiment — use "packed" (its measured successor) or call '
+                "iterativelqr_tpu.ops.pallas_backward.make_backward_dispatch "
+                "directly for kernel experiments"
+            )
         if self.backward_pass not in (
-            "scan", "associative", "pallas", "packed", "auto"
+            "scan", "associative", "packed", "auto"
         ):
             raise ValueError(f"unknown backward_pass {self.backward_pass!r}")
         if self.batched_solver not in ("auto", "vmap", "sl"):

@@ -163,11 +163,6 @@ def backward_pass(fx, fu, gx, gu, gxx, guu, gux, u_mask, reg_carry, options: Opt
     """
     if options.backward_pass == "associative":
         from .assoc import backward_pass_associative as bp
-    elif options.backward_pass == "pallas":
-        from .pallas_backward import make_backward_dispatch
-
-        dispatch = make_backward_dispatch(unroll=options.scan_unroll)
-        bp = lambda *a, unroll=None: dispatch(*a)
     elif options.backward_pass == "auto":
         # regime selection by batchedness (measured, docs/design.md section 3):
         # single-instance solves are latency-bound on the T-step recursion ->

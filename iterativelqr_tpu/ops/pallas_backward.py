@@ -19,9 +19,19 @@ layout.
 Integration: ``make_backward_dispatch`` returns a drop-in for
 ``backward_pass_scan`` wrapped in ``jax.custom_batching.custom_vmap`` — the
 unbatched call uses the XLA scan, and ``vmap`` (the batched solve) dispatches
-the whole batch into this kernel.  Selected with
-``Options(backward_pass="pallas")``; numerically identical to the scan path
+the whole batch into this kernel.  Numerically identical to the scan path
 (tests/test_pallas_backward.py runs the kernel in interpreter mode on CPU).
+
+STATUS: INTERNAL EXPERIMENT (not a selectable option).  Superseded by the
+multiref packed pipeline (ops/packed_backward.py v3 + ops/packed_pipeline.py)
+which feeds the kernel stacks born tile-aligned instead of paying the
+transpose tax at the kernel boundary.  Measured end-to-end (docs/design.md
+section 4): this kernel wins its stage in isolation but LOSES end-to-end —
+the [B,T,n,n] -> [T,n,n,B] transposes it needs cost more than the recursion
+saves.  v2 (same file, below) moved the transposes in-kernel and still lost.
+Both are kept, tested, and documented as measured negative results that
+shaped the packed design; ``Options(backward_pass="pallas")`` now raises
+with a pointer here.
 """
 
 from __future__ import annotations

@@ -1,8 +1,10 @@
 """Pallas batched backward kernel vs. the XLA scan path (interpreter mode).
 
 CPU cannot execute compiled TPU kernels, so the kernel runs under
-``interpret=True`` here; on TPU hardware the same code compiles via Mosaic
-(exercised by bench.py with Options(backward_pass="pallas")).
+``interpret=True`` here; on TPU hardware the same code compiles via Mosaic.
+The v1/v2 kernels are INTERNAL EXPERIMENTS (documented measured lessons
+superseded by ops/packed_backward.py — see the module docstring); these
+tests keep the lessons executable.
 """
 
 import jax
@@ -129,3 +131,12 @@ def test_dispatch_vmap_rule():
         np.testing.assert_allclose(
             np.asarray(a[0]), np.asarray(b), rtol=2e-4, atol=2e-4
         )
+
+
+def test_pallas_option_demoted():
+    """The v1 kernel is an internal experiment, not a selectable option:
+    selecting it must fail fast with a pointer to its successor."""
+    from iterativelqr_tpu import Options
+
+    with pytest.raises(ValueError, match="packed"):
+        Options(backward_pass="pallas")
