@@ -121,6 +121,12 @@ def main():
         help="override Options.early_round_iteration_cap (schedule experiments)",
     )
     ap.add_argument(
+        "--mct", type=int, default=None,
+        help="override Options.max_consecutive_truncations (schedule "
+        "experiments; large values = pure truncation, safe only with the "
+        "compaction driver's rescue pass)",
+    )
+    ap.add_argument(
         "--preset", choices=["tuned", "parity"], default="tuned",
         help="tuned: hot-start AL penalty schedule + 9-alpha grid + pallas "
         "backward on TPU (same tolerances, fewer iterations, solved_fraction "
@@ -196,12 +202,15 @@ def main():
             # (identical iterates; see ops/packed_pipeline.py)
             backward_pass="packed" if jax.default_backend() == "tpu" else "scan",
         )
-    if args.early_cap is not None:
+    if args.early_cap is not None or args.mct is not None:
         import dataclasses
 
-        opts = dataclasses.replace(
-            opts, early_round_iteration_cap=args.early_cap
-        )
+        overrides = {}
+        if args.early_cap is not None:
+            overrides["early_round_iteration_cap"] = args.early_cap
+        if args.mct is not None:
+            overrides["max_consecutive_truncations"] = args.mct
+        opts = dataclasses.replace(opts, **overrides)
 
     dtype = jnp.float32
     key = jax.random.PRNGKey(0)

@@ -240,8 +240,12 @@ def _ilqr(prob, xs, us, lams, rhos, opts):
 
         alpha, accepted = 1.0, False
         for _ls in range(opts.max_line_search_iterations):
-            xs_c, us_c = _rollout(prob, xs, us, K, kff, alpha)
-            J_c, cs_c = total(xs_c, us_c)
+            # probe trajectories at large alpha can diverge; the resulting
+            # inf/nan cost is rejected by the isfinite check below, so the
+            # overflow warnings are noise
+            with np.errstate(over="ignore", invalid="ignore"):
+                xs_c, us_c = _rollout(prob, xs, us, K, kff, alpha)
+                J_c, cs_c = total(xs_c, us_c)
             if np.isfinite(J_c) and J_c <= J + opts.armijo_c1 * alpha * slope:
                 accepted = True
                 break
