@@ -37,6 +37,16 @@ def main():
     ap.add_argument("--horizon", type=int, default=101)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--reps", type=int, default=20)
+    ap.add_argument(
+        "--roofline", action="store_true",
+        help="add XLA cost_analysis (bytes accessed / flops) per stage and "
+        "the HBM-bandwidth-bound time; also times one full SL solver body "
+        "iteration (the production per-iteration program)",
+    )
+    ap.add_argument(
+        "--hbm-gbps", type=float, default=819.0,
+        help="HBM bandwidth for the bound (GB/s; v5e ~819)",
+    )
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -230,14 +240,60 @@ def main():
             ),
         })
 
+    if args.roofline and B % 1024 == 0:
+        # one full SL solver body iteration — the program the production
+        # batched solve dispatches per iteration (core/solve_sl.py); its
+        # measured time x mean iterations is the whole-solve wall clock
+        # (minus compaction/host overhead), and its bytes-accessed / HBM
+        # bandwidth is the speed-of-light bound for the solve
+        from iterativelqr_tpu.core.solve_sl import make_sl_parts
+
+        parts = make_sl_parts(
+            spec, _dc.replace(opts, backward_pass="packed",
+                              batched_solver="sl"),
+            interpret=jax.default_backend() != "tpu",
+        )
+        carry0, ws_sl_full = jax.jit(parts.init)(xs, us, ws)
+        jax.block_until_ready(carry0.J)
+        body_fn = jax.jit(lambda s, w: parts.body(w)(s))
+        stages["sl_body_full_iteration"] = (body_fn, (carry0, ws_sl_full))
+
+    def cost_analysis(fn, a):
+        """XLA's own program cost model: bytes accessed (HBM traffic as the
+        compiler scheduled it) and flops.  Pallas custom calls are opaque to
+        it — their DMA traffic is undercounted; treat kernel-stage bounds as
+        lower bounds."""
+        try:
+            an = fn.lower(*a).compile().cost_analysis()
+            if isinstance(an, (list, tuple)):
+                an = an[0]
+            return float(an.get("bytes accessed", 0.0)), float(
+                an.get("flops", 0.0)
+            )
+        except Exception:
+            return None, None
+
     for name, (fn, a) in stages.items():
         try:
             dt = timeit(fn, a, reps=args.reps)
-            print(json.dumps({
+            row = {
                 "stage": name, "ms": round(dt * 1e3, 3), "batch": B,
                 "horizon": T, "backend": jax.default_backend(),
                 "us_per_instance": round(dt / B * 1e6, 3),
-            }), flush=True)
+            }
+            if args.roofline:
+                bytes_acc, flops = cost_analysis(fn, a)
+                if bytes_acc is not None:
+                    bound_ms = bytes_acc / (args.hbm_gbps * 1e9) * 1e3
+                    row.update({
+                        "bytes_accessed": int(bytes_acc),
+                        "flops": int(flops),
+                        "hbm_bound_ms": round(bound_ms, 4),
+                        "pct_of_bound": round(
+                            100.0 * bound_ms / (dt * 1e3), 1
+                        ) if dt > 0 else None,
+                    })
+            print(json.dumps(row), flush=True)
         except Exception as e:  # keep going; report the failure
             print(json.dumps({"stage": name, "error": str(e)[:200]}), flush=True)
 
