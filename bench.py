@@ -160,8 +160,9 @@ def main():
     import jax.numpy as jnp
 
     # persistent compile cache: the solve program is large
-    jax.config.update("jax_compilation_cache_dir", "/tmp/ilqr_tpu_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from iterativelqr_tpu.utils.compile_cache import setup_compile_cache
+
+    setup_compile_cache(platform)
 
     from iterativelqr_tpu import Options
     from iterativelqr_tpu.core.spec import build_spec

@@ -24,8 +24,9 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
-jax.config.update("jax_compilation_cache_dir", "/tmp/ilqr_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from iterativelqr_tpu.utils.compile_cache import setup_compile_cache
+
+setup_compile_cache("cpu")
 
 import jax.numpy as jnp
 import numpy as np

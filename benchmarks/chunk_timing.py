@@ -29,8 +29,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/ilqr_tpu_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from iterativelqr_tpu.utils.compile_cache import setup_compile_cache
+
+    setup_compile_cache(jax.default_backend())
 
     from iterativelqr_tpu import Options
     from iterativelqr_tpu.core.solve_sl import make_sl_parts

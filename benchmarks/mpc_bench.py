@@ -78,6 +78,14 @@ def run_case(T, opts_kwargs, carry_duals, steps, dtype):
         )
         x = plant(x, out.action, ws[0]) + dist
     steady = lat[5:]
+    # transient envelope (VERDICT r2 next #6): worst constraint violation
+    # across steady steps, and the longest consecutive run of infeasible
+    # steps (steps-to-refeasibility after an excursion)
+    tol = opts.constraint_tolerance
+    worst_run, run = 0, 0
+    for v in viols[5:]:
+        run = run + 1 if v > tol else 0
+        worst_run = max(worst_run, run)
     return {
         "horizon": T,
         "carry_duals": carry_duals,
@@ -86,7 +94,8 @@ def run_case(T, opts_kwargs, carry_duals, steps, dtype):
         "max_ms": round(1e3 * max(steady), 2),
         "cold_ms": round(1e3 * lat[1], 2),  # lat[0] includes compile
         "mean_inner_iters": round(sum(iters[5:]) / len(iters[5:]), 1),
-        "max_viol": max(viols[5:]),
+        "worst_transient_viol": round(max(viols[5:]), 4),
+        "max_consec_infeasible_steps": worst_run,
         "backend": jax.default_backend(),
         **{k: v for k, v in opts_kwargs.items() if k != "verbose"},
     }
@@ -97,20 +106,33 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--horizons", default="51,101")
+    ap.add_argument(
+        "--budgets", default=None,
+        help="comma list of max_step_iterations budgets to sweep "
+        "(e.g. 3,5,8,12); default: full convergence + budget 5",
+    )
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", "/tmp/ilqr_tpu_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from iterativelqr_tpu.utils.compile_cache import setup_compile_cache
+
+    setup_compile_cache("cpu" if args.cpu else jax.default_backend())
     dtype = jnp.float64 if args.cpu else jnp.float32
     if args.cpu:
         jax.config.update("jax_enable_x64", True)
 
-    for T in [int(t) for t in args.horizons.split(",")]:
-        for kwargs in [
+    if args.budgets is not None:
+        sweeps = [
+            dict(backward_pass="auto", max_step_iterations=int(b))
+            for b in args.budgets.split(",")
+        ]
+    else:
+        sweeps = [
             dict(backward_pass="auto"),
             dict(backward_pass="auto", max_step_iterations=5),
-        ]:
+        ]
+    for T in [int(t) for t in args.horizons.split(",")]:
+        for kwargs in sweeps:
             for carry in [True]:
                 r = run_case(T, dict(kwargs), carry, args.steps, dtype)
                 print(json.dumps(r), flush=True)

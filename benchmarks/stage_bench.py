@@ -50,8 +50,9 @@ def main():
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", "/tmp/ilqr_tpu_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from iterativelqr_tpu.utils.compile_cache import setup_compile_cache
+
+    setup_compile_cache("cpu" if args.cpu else jax.default_backend())
 
     from iterativelqr_tpu import Options
     from iterativelqr_tpu.core.spec import build_spec

@@ -25,5 +25,6 @@ jax.config.update("jax_enable_x64", True)
 
 # persistent compilation cache: recompiles of the jitted solve across test
 # sessions are the dominant cost (the solve is one large while-loop program)
-jax.config.update("jax_compilation_cache_dir", "/tmp/ilqr_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from iterativelqr_tpu.utils.compile_cache import setup_compile_cache
+
+setup_compile_cache("cpu")  # per-platform dir: see compile_cache.py
