@@ -84,6 +84,15 @@ def make_compacted_solve_fn(
     The rescue programs are built lazily (first failure) and only exist
     when a cap is configured; a rescue re-solve costs one extra dispatch
     of a _GRAIN-sized batch, paid only on the rare capped-schedule miss.
+
+    Exit-diagnostics caveat (for warm-start consumers): trajectories,
+    iterates, duals, and violations are bitwise-identical to the
+    single-shot SL solver, but ``Solution.K``/``k``/``grad_norm`` come
+    from a separately-jitted finish program whose Cholesky-retry decision
+    can flip on PD-marginal instances — measured <0.5% of instances
+    differ (tests/test_solve_compact.py).  Re-derive gains from the
+    returned trajectories if exact agreement with the single-shot
+    solver's gains matters.
     """
     parts = make_sl_parts(
         spec, options, interpret=interpret, dual_warm_start=dual_warm_start

@@ -75,6 +75,62 @@ def _combine(ei, ej):
     return A, b, C, eta, J
 
 
+def _make_element(fx_t, fu_t, gx_t, gu_t, gxx_t, guu_t, gux_t, um_t, reg):
+    """One stage's value-function element (module docstring); vmap over t."""
+    mask2 = um_t[:, None] * um_t[None, :]
+    Guu = guu_t * mask2 + jnp.diag(1.0 - um_t) + reg * jnp.diag(um_t)
+    L = linalg_small.cholesky(Guu)
+    diag = jnp.diagonal(L)
+    ok_t = jnp.all(jnp.isfinite(diag) & (diag > 0.0))
+    sol = linalg_small.cho_solve(
+        L, jnp.concatenate([gux_t, gu_t[:, None], fu_t.T], axis=1)
+    )
+    Gi_Gux = sol[:, : gux_t.shape[1]]                        # Guu^{-1} Gux
+    Gi_gu = sol[:, gux_t.shape[1]]
+    Gi_fuT = sol[:, gux_t.shape[1] + 1 :]                    # Guu^{-1} fu'
+    A = fx_t - fu_t @ Gi_Gux
+    b = -fu_t @ Gi_gu
+    C = fu_t @ Gi_fuT
+    C = 0.5 * (C + C.T)
+    J = gxx_t - gux_t.T @ Gi_Gux
+    J = 0.5 * (J + J.T)
+    eta = -(gx_t - gux_t.T @ Gi_gu)
+    return (A, b, C, eta, J), ok_t
+
+
+def _gains(fx_t, fu_t, gx_t, gu_t, gxx_t, guu_t, gux_t, um_t, P1, p1, reg):
+    """Feedback/feedforward gains from the value function at t+1; vmap
+    over t (no sequential dependence)."""
+    fuT = fu_t.T
+    Qx = gx_t + fx_t.T @ p1
+    Qu = gu_t + fuT @ p1
+    fuTP = fuT @ P1
+    Quu = guu_t + fuTP @ fu_t
+    Qux = gux_t + fuTP @ fx_t
+    mask2 = um_t[:, None] * um_t[None, :]
+    Quu_eff = Quu * mask2 + jnp.diag(1.0 - um_t)
+    L = linalg_small.cholesky(Quu_eff + reg * jnp.diag(um_t))
+    diag = jnp.diagonal(L)
+    ok_t = jnp.all(jnp.isfinite(diag) & (diag > 0.0))
+    sol = linalg_small.cho_solve(L, jnp.concatenate([Qux, Qu[:, None]], axis=1))
+    K = -sol[:, :-1] * um_t[:, None]
+    k = -sol[:, -1] * um_t
+    return K, k, Qx, Qu, ok_t
+
+
+def identity_element(nx, dtype):
+    """The combine operator's identity: composing it on either side leaves
+    the other element unchanged (A=I, b=0, C=0, eta=0, J=0).  Used to pad
+    the time axis for even device sharding (parallel/horizon.py)."""
+    return (
+        jnp.eye(nx, dtype=dtype),
+        jnp.zeros((nx,), dtype),
+        jnp.zeros((nx, nx), dtype),
+        jnp.zeros((nx,), dtype),
+        jnp.zeros((nx, nx), dtype),
+    )
+
+
 def backward_pass_associative(fx, fu, gx, gu, gxx, guu, gux, u_mask, reg, unroll=1):
     """Associative-scan Riccati; same signature/returns as backward_pass_scan.
 
@@ -85,30 +141,9 @@ def backward_pass_associative(fx, fu, gx, gu, gxx, guu, gux, u_mask, reg, unroll
     Tm1, nx = fx.shape[0], fx.shape[1]
     um = u_mask.astype(dtype)
 
-    def make_element(fx_t, fu_t, gx_t, gu_t, gxx_t, guu_t, gux_t, um_t):
-        mask2 = um_t[:, None] * um_t[None, :]
-        Guu = guu_t * mask2 + jnp.diag(1.0 - um_t) + reg * jnp.diag(um_t)
-        L = linalg_small.cholesky(Guu)
-        diag = jnp.diagonal(L)
-        ok_t = jnp.all(jnp.isfinite(diag) & (diag > 0.0))
-        sol = linalg_small.cho_solve(
-            L, jnp.concatenate([gux_t, gu_t[:, None], fu_t.T], axis=1)
-        )
-        Gi_Gux = sol[:, : gux_t.shape[1]]                        # Guu^{-1} Gux
-        Gi_gu = sol[:, gux_t.shape[1]]
-        Gi_fuT = sol[:, gux_t.shape[1] + 1 :]                    # Guu^{-1} fu'
-        A = fx_t - fu_t @ Gi_Gux
-        b = -fu_t @ Gi_gu
-        C = fu_t @ Gi_fuT
-        C = 0.5 * (C + C.T)
-        J = gxx_t - gux_t.T @ Gi_Gux
-        J = 0.5 * (J + J.T)
-        eta = -(gx_t - gux_t.T @ Gi_gu)
-        return (A, b, C, eta, J), ok_t
-
-    stage_elems, ok_stage = jax.vmap(make_element)(
-        fx, fu, gx[:-1], gu, gxx[:-1], guu, gux, um
-    )
+    stage_elems, ok_stage = jax.vmap(
+        lambda *a: _make_element(*a, reg)
+    )(fx, fu, gx[:-1], gu, gxx[:-1], guu, gux, um)
 
     # append the terminal element
     zA = jnp.zeros((1, nx, nx), dtype)
@@ -135,25 +170,8 @@ def backward_pass_associative(fx, fu, gx, gu, gxx, guu, gux, u_mask, reg, unroll
     p = -eta_all  # [T, nx];    value gradient at each t
 
     # gains from the value function at t+1: one batched Q-expansion
-    def gains(fx_t, fu_t, gx_t, gu_t, gxx_t, guu_t, gux_t, um_t, P1, p1):
-        fuT = fu_t.T
-        Qx = gx_t + fx_t.T @ p1
-        Qu = gu_t + fuT @ p1
-        fuTP = fuT @ P1
-        Quu = guu_t + fuTP @ fu_t
-        Qux = gux_t + fuTP @ fx_t
-        mask2 = um_t[:, None] * um_t[None, :]
-        Quu_eff = Quu * mask2 + jnp.diag(1.0 - um_t)
-        L = linalg_small.cholesky(Quu_eff + reg * jnp.diag(um_t))
-        diag = jnp.diagonal(L)
-        ok_t = jnp.all(jnp.isfinite(diag) & (diag > 0.0))
-        sol = linalg_small.cho_solve(L, jnp.concatenate([Qux, Qu[:, None]], axis=1))
-        K = -sol[:, :-1] * um_t[:, None]
-        k = -sol[:, -1] * um_t
-        return K, k, Qx, Qu, ok_t
-
-    K, k, Qx, Qu, ok_gain = jax.vmap(gains)(
-        fx, fu, gx[:-1], gu, gxx[:-1], guu, gux, um, P[1:], p[1:]
-    )
+    K, k, Qx, Qu, ok_gain = jax.vmap(
+        lambda *a: _gains(*a, reg)
+    )(fx, fu, gx[:-1], gu, gxx[:-1], guu, gux, um, P[1:], p[1:])
     ok = jnp.all(ok_stage) & jnp.all(ok_gain) & jnp.all(jnp.isfinite(p))
     return K, k, Qx, Qu, p[:-1], ok
