@@ -315,8 +315,31 @@ def main():
 
         solve = build_solve()
     else:
-        solve = make_sharded_solve_fn(spec, opts, mesh=mesh)
-        xs, us, ws = shard_batch(mesh, "batch", xs, us, ws)
+        use_compact_nd = (
+            not args.no_compact
+            and opts.backward_pass == "packed"
+            and jax.default_backend() == "tpu"
+        )
+        if use_compact_nd:
+            # per-DEVICE straggler compaction: one compaction loop per chip,
+            # dispatches interleaved (core/solve_compact.py::solve_sharded)
+            from iterativelqr_tpu.core.solve_compact import (
+                make_compacted_solve_fn,
+            )
+
+            solve_raw = make_compacted_solve_fn(
+                spec, opts, chunk=args.chunk, devices=devices
+            )
+            stats_jit = jax.jit(
+                lambda s: batch_stats(s, opts.constraint_tolerance)
+            )
+
+            def solve(xs, us, ws):
+                sol = solve_raw(xs, us, ws)
+                return sol, stats_jit(sol)
+        else:
+            solve = make_sharded_solve_fn(spec, opts, mesh=mesh)
+            xs, us, ws = shard_batch(mesh, "batch", xs, us, ws)
 
     # compile + warm
     sol, stats = solve(xs, us, ws)

@@ -67,6 +67,7 @@ def make_compacted_solve_fn(
     cache_key: str | None = None,
     dual_warm_start: bool = False,
     rescue: bool = True,
+    devices=None,
 ):
     """Build a host-callable ``(xs [B,T,nx], us, ws) -> Solution``.
 
@@ -84,6 +85,15 @@ def make_compacted_solve_fn(
     The rescue programs are built lazily (first failure) and only exist
     when a cap is configured; a rescue re-solve costs one extra dispatch
     of a _GRAIN-sized batch, paid only on the rare capped-schedule miss.
+
+    ``devices``: a sequence of >1 jax devices runs PER-DEVICE compaction —
+    the batch splits into one contiguous sub-batch per device, each with
+    its own independent compaction loop, dispatches interleaved so every
+    device's next chunk is queued before any device's host sync.  This is
+    the multi-chip production path WITH straggler compaction (the
+    shard_map route in parallel/shard.py runs the monolithic while-loop
+    per shard and bills each shard's iteration tail).  Per-lane results
+    remain bitwise those of the single-device driver.
 
     Exit-diagnostics caveat (for warm-start consumers): trajectories,
     iterates, duals, and violations are bitwise-identical to the
@@ -167,7 +177,10 @@ def make_compacted_solve_fn(
     chunk_fns, gather_fns, scatter_fns = {}, {}, {}
     rescue_fns = {}
 
-    def _run_rescue(sol, failed, xs_b, us_b, ws_b, warm):
+    def _put(a, dev):
+        return a if dev is None else jax.device_put(a, dev)
+
+    def _run_rescue(sol, failed, xs_b, us_b, ws_b, warm, dev=None):
         # exact-schedule re-solve of the failed lanes, from their ORIGINAL
         # inputs: per-lane results are bitwise those of the uncapped
         # single-shot SL solver.  One dispatch: the while loop inside the
@@ -176,7 +189,8 @@ def make_compacted_solve_fn(
         Br = max(_GRAIN, _round_up(failed.size, _GRAIN))
         sel = np.resize(failed, Br)  # tile to fill; replicas discarded
         ins = tuple(
-            jnp.asarray(np.asarray(a)[sel]) for a in (xs_b, us_b, ws_b, *warm)
+            _put(jnp.asarray(np.asarray(a)[sel]), dev)
+            for a in (xs_b, us_b, ws_b, *warm)
         )
         n_bound = jnp.int32(options.max_iterations * options.max_dual_updates)
         if Br not in rescue_fns:
@@ -206,88 +220,160 @@ def make_compacted_solve_fn(
 
         return jax.tree.map(patch, sol, sol_r)
 
-    def solve(xs_b, us_b, ws_b, *warm) -> Solution:
-        B = int(xs_b.shape[0])
-        if B not in init_fns:
-            init_fns[B] = _cached(
-                lambda: parts.init, f"init_B{B}", (xs_b, us_b, ws_b, *warm)
+    class _DState:
+        """One sub-batch's driver state (host bookkeeping + device arrays).
+
+        The loop is split into ``_dispatch`` (queue the next chunk program —
+        asynchronous) and ``_advance`` (block on THIS state's stop flags,
+        then do compaction bookkeeping), so a multi-device driver can keep
+        every device's next chunk queued before syncing any of them."""
+
+        __slots__ = ("B", "Bp", "dev", "inputs", "carry_full", "carry",
+                     "ws_full", "ws_cur", "idx", "pending")
+
+    def _start(dev, xs_b, us_b, ws_b, *warm) -> "_DState":
+        st = _DState()
+        st.B = int(xs_b.shape[0])
+        st.dev = dev
+        st.inputs = (xs_b, us_b, ws_b, warm)
+        args = tuple(_put(a, dev) for a in (xs_b, us_b, ws_b, *warm))
+        if st.B not in init_fns:
+            init_fns[st.B] = _cached(
+                lambda: parts.init, f"init_B{st.B}", args
             )
-        carry, ws_full = init_fns[B](xs_b, us_b, ws_b, *warm)
-        Bp = carry.stop.shape[-2] * 128
+        st.carry_full, st.ws_full = init_fns[st.B](*args)
+        st.Bp = st.carry_full.stop.shape[-2] * 128
+        st.carry = None
+        st.ws_cur = st.ws_full
+        st.idx = None  # current-lane -> full-lane map; None = identity
+        st.pending = None
+        return st
 
-        def run_chunk(carry, ws):
-            Bc = carry.stop.shape[-2] * 128
-            # grow dispatches at smaller shapes: the cheap post-compaction
-            # phase should not pay one host round trip per `chunk` iterations
-            n = jnp.int32(min(chunk * max(Bp // Bc, 1), 4 * chunk))
-            if Bc not in chunk_fns:
-                chunk_fns[Bc] = _cached(
-                    lambda: _chunk_host, f"chunkv_B{Bc}", (carry, ws, n)
-                )
-            return chunk_fns[Bc](carry, ws, n)
-
-        carry_full, ws_cur = carry, ws_full
-        idx = None  # current-lane -> full-lane map; None = identity (full)
-        while True:
-            cur = carry if idx is not None else carry_full
-            cur = run_chunk(cur, ws_cur)
-            if idx is None:
-                carry_full = cur
-            else:
-                carry = cur
-            stop = np.asarray(cur.stop).ravel()
-            if stop.all():
-                break
-            live = np.flatnonzero(~stop)
-            B_cur = stop.size
-            B_next = max(_GRAIN, _round_up(len(live), _GRAIN))
-            if B_next * shrink > B_cur:
-                continue
-            # re-pack: live lanes + frozen (stopped) fillers to B_next
-            fill = np.flatnonzero(stop)[: B_next - len(live)]
-            sel = np.concatenate([live, fill]).astype(np.int32)
-            if idx is not None:
-                # fold current carry back into the full-batch carry first
-                Bc = carry.stop.shape[-2] * 128
-                key = (Bp, Bc)
-                if key not in scatter_fns:
-                    scatter_fns[key] = _cached(
-                        lambda: _scatter_host, f"scatter_B{Bp}_b{Bc}",
-                        (carry_full, carry, idx),
-                    )
-                carry_full = scatter_fns[key](carry_full, carry, idx)
-                sel = np.asarray(idx)[sel]  # to full-lane coordinates
-            key = (Bp, B_next)
-            idx = jnp.asarray(sel, jnp.int32)
-            if key not in gather_fns:
-                gather_fns[key] = _cached(
-                    lambda: _gather_host, f"gather_B{Bp}_b{B_next}",
-                    (carry_full, ws_full, idx),
-                )
-            carry, ws_cur = gather_fns[key](carry_full, ws_full, idx)
-
-        if idx is not None:
-            Bc = carry.stop.shape[-2] * 128
-            key = (Bp, Bc)
-            if key not in scatter_fns:
-                scatter_fns[key] = _cached(
-                    lambda: _scatter_host, f"scatter_B{Bp}_b{Bc}",
-                    (carry_full, carry, idx),
-                )
-            carry_full = scatter_fns[key](carry_full, carry, idx)
-
-        if B not in finish_fns:
-            finish_fns[B] = _cached(
-                lambda: lambda c, w: parts.finish(c, w, B),
-                f"finish_B{B}", (carry_full, ws_full),
+    def _dispatch(st: "_DState"):
+        cur = st.carry if st.idx is not None else st.carry_full
+        Bc = cur.stop.shape[-2] * 128
+        # grow dispatches at smaller shapes: the cheap post-compaction
+        # phase should not pay one host round trip per `chunk` iterations
+        n = jnp.int32(min(chunk * max(st.Bp // Bc, 1), 4 * chunk))
+        if Bc not in chunk_fns:
+            chunk_fns[Bc] = _cached(
+                lambda: _chunk_host, f"chunkv_B{Bc}", (cur, st.ws_cur, n)
             )
-        sol = finish_fns[B](carry_full, ws_full)
+        st.pending = chunk_fns[Bc](cur, st.ws_cur, n)  # async
 
+    def _fold_back(st: "_DState"):
+        # fold the current small-batch carry into the full-batch carry
+        Bc = st.carry.stop.shape[-2] * 128
+        key = (st.Bp, Bc)
+        if key not in scatter_fns:
+            scatter_fns[key] = _cached(
+                lambda: _scatter_host, f"scatter_B{st.Bp}_b{Bc}",
+                (st.carry_full, st.carry, st.idx),
+            )
+        st.carry_full = scatter_fns[key](st.carry_full, st.carry, st.idx)
+
+    def _advance(st: "_DState") -> bool:
+        """Sync the pending chunk; True when this sub-batch is all-stop."""
+        cur, st.pending = st.pending, None
+        if st.idx is None:
+            st.carry_full = cur
+        else:
+            st.carry = cur
+        stop = np.asarray(cur.stop).ravel()  # blocks on st.dev only
+        if stop.all():
+            return True
+        live = np.flatnonzero(~stop)
+        B_cur = stop.size
+        B_next = max(_GRAIN, _round_up(len(live), _GRAIN))
+        if B_next * shrink > B_cur:
+            return False
+        # re-pack: live lanes + frozen (stopped) fillers to B_next
+        fill = np.flatnonzero(stop)[: B_next - len(live)]
+        sel = np.concatenate([live, fill]).astype(np.int32)
+        if st.idx is not None:
+            _fold_back(st)
+            sel = np.asarray(st.idx)[sel]  # to full-lane coordinates
+        key = (st.Bp, B_next)
+        st.idx = _put(jnp.asarray(sel, jnp.int32), st.dev)
+        if key not in gather_fns:
+            gather_fns[key] = _cached(
+                lambda: _gather_host, f"gather_B{st.Bp}_b{B_next}",
+                (st.carry_full, st.ws_full, st.idx),
+            )
+        st.carry, st.ws_cur = gather_fns[key](
+            st.carry_full, st.ws_full, st.idx
+        )
+        return False
+
+    def _finish_state(st: "_DState") -> Solution:
+        if st.idx is not None:
+            _fold_back(st)
+        if st.B not in finish_fns:
+            finish_fns[st.B] = _cached(
+                lambda: lambda c, w: parts.finish(c, w, st.B),
+                f"finish_B{st.B}", (st.carry_full, st.ws_full),
+            )
+        sol = finish_fns[st.B](st.carry_full, st.ws_full)
         if rescue_parts is not None:
             viol = np.asarray(sol.max_violation)
             failed = np.flatnonzero(viol > options.constraint_tolerance)
             if failed.size:
-                sol = _run_rescue(sol, failed, xs_b, us_b, ws_b, warm)
+                xs_b, us_b, ws_b, warm = st.inputs
+                sol = _run_rescue(
+                    sol, failed, xs_b, us_b, ws_b, warm, dev=st.dev
+                )
         return sol
 
-    return solve
+    def solve(xs_b, us_b, ws_b, *warm) -> Solution:
+        st = _start(None, xs_b, us_b, ws_b, *warm)
+        while True:
+            _dispatch(st)
+            if _advance(st):
+                break
+        return _finish_state(st)
+
+    if devices is None or len(devices) <= 1:
+        return solve
+
+    n_dev = len(devices)
+
+    def solve_sharded(xs_b, us_b, ws_b, *warm) -> Solution:
+        """Per-device straggler compaction: the batch splits into one
+        contiguous sub-batch per device and each runs its OWN compaction
+        loop.  Dispatches interleave — every live device has its next chunk
+        queued before any device's stop flags are synced — so devices
+        overlap despite the single host thread.  Per-lane results are
+        bitwise those of the single-device driver (lanes are independent;
+        only the batch shapes they ride differ)."""
+        B = int(xs_b.shape[0])
+        bounds = np.linspace(0, B, n_dev + 1).astype(int)
+        states = []
+        for i, dev in enumerate(devices):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            if lo == hi:
+                continue
+            states.append(_start(
+                dev, xs_b[lo:hi], us_b[lo:hi], ws_b[lo:hi],
+                *(w[lo:hi] for w in warm),
+            ))
+        for st in states:
+            _dispatch(st)
+        live = list(states)
+        while live:
+            nxt = []
+            for st in live:
+                if not _advance(st):
+                    _dispatch(st)
+                    nxt.append(st)
+            live = nxt
+        sols = [_finish_state(st) for st in states]
+        if len(sols) == 1:
+            return sols[0]
+        return jax.tree.map(
+            lambda *xs: jnp.concatenate(
+                [jnp.asarray(np.asarray(x)) for x in xs], axis=0
+            ),
+            *sols,
+        )
+
+    return solve_sharded

@@ -190,3 +190,22 @@ def test_rescue_resolves_capped_failures():
             a[ok], np.asarray(getattr(bare, name))[ok],
             err_msg=f"{name} (untouched rows)",
         )
+
+
+def test_compacted_multi_device_matches_single():
+    """Per-device compaction (devices=...) splits the batch into per-device
+    sub-batches with interleaved driver loops; per-lane results must be
+    bitwise the single-device driver's (lanes are independent — only the
+    batch shapes they ride differ)."""
+    T, B = 8, 2048
+    spec, xs, us, ws = _spread_batch(T, B)
+    opts = Options(batched_solver="sl", **_BASE)
+    ref = make_compacted_solve_fn(spec, opts, chunk=6, interpret=True)(
+        xs, us, ws
+    )
+    devs = jax.devices()[:2]
+    assert len(devs) == 2
+    out = make_compacted_solve_fn(
+        spec, opts, chunk=6, interpret=True, devices=devs
+    )(xs, us, ws)
+    _assert_solutions_equal(out, ref)
