@@ -196,29 +196,14 @@ class SLOps:
         trajectory and constraint values.  The accepted objective is the
         scoring scan's value (see the forward.py docstring for why).
 
-        Cascaded scoring (measured motivation: the 17-candidate scoring
-        scan was the top per-iteration stage at 5.1ms/iteration on TPU at
-        B=4096, only ~12% of its HBM bound — latency-bound sequential scan
-        whose cost scales with the candidate count; stage_bench --roofline):
-
-        * block 0: the FULL step alpha=1 is scored alone, with the
-          trajectory and constraint values emitted by the same scan.
-        * If every result-consuming lane (``need``; None = all) accepts
-          alpha=1 — the overwhelmingly common case once instances near
-          convergence — the search is DONE: no further scoring, and the
-          winner "re-roll" is the already-emitted block-0 trajectory.
-        * block 1 (candidates 1..7) and the tail block (8..) are otherwise
-          scored under ``lax.cond`` with the same skip rule the two-block
-          scheme used: a block runs only when some needed lane has no
-          acceptance in earlier blocks.
-
-        Selection is bit-identical to scoring every candidate: the winner
-        is the LARGEST accepted alpha, so later blocks can never change a
-        lane that accepted earlier, and lanes without ``need`` have their
-        results discarded by the caller.  Every rollout — scoring, winner
-        re-roll, and the emitting block 0 — is the SAME ``score_block``
-        code path (per-lane alpha, candidate axis leading), so a lane's
-        values never depend on which branch produced them.
+        Two-block scoring: candidates split into a head block (8) scored
+        always and a tail block scored under ``lax.cond`` ONLY when some
+        lane in ``need`` (result-consuming lanes; None = all) has no head
+        acceptance.  The head block accepts in the overwhelming majority of
+        iterations (largest accepted alpha is the winner, so the tail can
+        only matter to lanes with no head acceptance), cutting the dominant
+        per-iteration cost of wide reference grids (num_step_sizes=17 at
+        min_step_size=1e-5) nearly in half with bit-identical selection.
 
         Returns (xs, us, J, c, status, step_size) in SL shapes.
         """
@@ -236,41 +221,34 @@ class SLOps:
             duals[:-1], penalty[:-1], self.ineq_t[:-1],
         )
 
-        def score_block(alpha_blk, emit=False):
-            """Score a block of candidates in one scan: the candidate axis
-            rides axis 0 of the carry, shared per-step inputs read once.
-            ``alpha_blk`` is PER-LANE [nb, S, L] so the same code path
-            serves fixed candidate grids (broadcast), the per-lane winner
-            re-roll, and the emitting full-step block — one arithmetic
-            source for every rollout the search performs.  With ``emit``
-            also returns (xs [T,nb,nx,S,L], us, c)."""
-            nb = alpha_blk.shape[0]
+        def roll(alpha_sl, emit):
+            """One closed-loop rollout at per-instance step size
+            ``alpha_sl`` [S,L]; J accumulated in-carry; trajectory +
+            constraints emitted when ``emit``."""
 
-            def score_step(carry, inp):
-                x, J = carry                   # [nb,nx,S,L], [nb,S,L]
+            def step(carry, inp):
+                x, J = carry
                 td, tg, tc, xb, ub, w, K_t, k_t, lam_t, rho_t, iq_t = inp
-                dx = x - xb[None]
+                dx = x - xb
                 # broadcast-multiply-reduce: tiny contractions must never
                 # lower to dot_general (ops/linalg_small.py lesson)
                 u = (
-                    ub[None]
-                    + jnp.sum(K_t[None] * dx[:, None], axis=2)
-                    + alpha_blk[:, None] * k_t[None]
+                    ub
+                    + jnp.sum(K_t * dx[None], axis=1)
+                    + alpha_sl[None] * k_t
                 )
-                g = _switch(tg, self.cost3, x, u, w)
+                g = _switch(tg, self.cost2, x, u, w)
                 J = J + g
                 c_t = None
                 if nc > 0:
-                    c_t = _switch(tc, self.con3, x, u, w)  # [nb,nc,S,L]
-                    iq = iq_t[None, :, None, None]
-                    lam = lam_t[None]
-                    rho = rho_t[None]
-                    inactive = iq & (c_t < 0.0) & (lam == 0.0)
+                    c_t = _switch(tc, self.con2, x, u, w)
+                    iq = iq_t[:, None, None]
+                    inactive = iq & (c_t < 0.0) & (lam_t == 0.0)
                     a = jnp.where(inactive, 0.0, 1.0).astype(dtype)
                     J = J + jnp.sum(
-                        lam * c_t + 0.5 * a * rho * c_t * c_t, axis=1
+                        lam_t * c_t + 0.5 * a * rho_t * c_t * c_t, axis=0
                     )
-                xn = _switch(td, self.dyn3, x, u, w)
+                xn = _switch(td, self.dyn2, x, u, w)
                 if emit:
                     ys = (x, u, c_t) if nc > 0 else (x, u)
                 else:
@@ -279,51 +257,37 @@ class SLOps:
                     ys = jnp.zeros((), dtype)
                 return (xn, J), ys
 
-            x0 = jnp.broadcast_to(xbar[0][None], (nb, nx, S, 128))
-            (x_last, J_b), ys = jax.lax.scan(
-                score_step, (x0, jnp.zeros((nb, S, 128), dtype)),
-                scan_inputs, unroll=o.scan_unroll,
+            (x_last, J), ys = jax.lax.scan(
+                step, (xbar[0], jnp.zeros((S, 128), dtype)), scan_inputs,
+                unroll=o.scan_unroll,
             )
-            u0 = jnp.zeros((nb, nu, S, 128), dtype)
-            gT = self.cost3[self.gT](x_last, u0, ws[-1])
-            J_b = J_b + gT
+            u0 = jnp.zeros((nu, S, 128), dtype)
+            gT = self.cost2[self.gT](x_last, u0, ws[-1])
+            J = J + gT
             cT = None
             if nc > 0:
-                cT = self.con3[self.cT](x_last, u0, ws[-1])
-                iq = self.ineq_t[-1][None, :, None, None]
-                lam = duals[-1][None]
-                rho = penalty[-1][None]
-                inactive = iq & (cT < 0.0) & (lam == 0.0)
+                cT = self.con2[self.cT](x_last, u0, ws[-1])
+                iq = self.ineq_t[-1][:, None, None]
+                inactive = iq & (cT < 0.0) & (duals[-1] == 0.0)
                 a = jnp.where(inactive, 0.0, 1.0).astype(dtype)
-                J_b = J_b + jnp.sum(
-                    lam * cT + 0.5 * a * rho * cT * cT, axis=1
+                J = J + jnp.sum(
+                    duals[-1] * cT + 0.5 * a * penalty[-1] * cT * cT, axis=0
                 )
             if not emit:
-                return J_b
+                return J
             if nc > 0:
-                xs_head, us_b, c_head = ys
-                c_b = jnp.concatenate([c_head, cT[None]], axis=0)
+                xs_head, us, c_head = ys
+                c = jnp.concatenate([c_head, cT[None]], axis=0)
             else:
-                xs_head, us_b = ys
-                c_b = jnp.zeros((spec.T, nb, 0, S, 128), dtype)
-            xs_b = jnp.concatenate([xs_head, x_last[None]], axis=0)
-            return J_b, (xs_b, us_b, c_b)
-
-        def bcast(alphas_vec):
-            return jnp.broadcast_to(
-                alphas_vec[:, None, None], alphas_vec.shape + (S, 128)
-            )
-
-        def strip(traj):
-            xs_b, us_b, c_b = traj
-            return xs_b[:, 0], us_b[:, 0], c_b[:, 0]
+                xs_head, us = ys
+                c = jnp.zeros((spec.T, 0, S, 128), dtype)
+            xs = jnp.concatenate([xs_head, x_last[None]], axis=0)
+            return xs, us, J, c
 
         if o.line_search == "none":
             # unconditional full step (reference: src/options.jl:2)
             ones = jnp.ones((S, 128), dtype)
-            J_w, traj = score_block(ones[None], emit=True)
-            J_w = J_w[0]
-            xs_w, us_w, c_w = strip(traj)
+            xs_w, us_w, J_w, c_w = roll(ones, emit=True)
             ok = jnp.isfinite(J_w)
             return (
                 jnp.where(ok, xs_w, xbar),
@@ -338,64 +302,87 @@ class SLOps:
         alphas = 0.5 ** jnp.arange(na, dtype=dtype)
         c1 = jnp.asarray(o.armijo_c1, dtype)
 
-        def acc(J_blk, alpha_blk):
+        def score_block(alphas_blk):
+            """Score a block of candidates in one scan: the candidate axis
+            rides axis 0 of the carry, shared per-step inputs read once."""
+            nb = alphas_blk.shape[0]
+
+            def score_step(carry, inp):
+                x, J = carry                   # [nb,nx,S,L], [nb,S,L]
+                td, tg, tc, xb, ub, w, K_t, k_t, lam_t, rho_t, iq_t = inp
+                dx = x - xb[None]
+                u = (
+                    ub[None]
+                    + jnp.sum(K_t[None] * dx[:, None], axis=2)
+                    + alphas_blk[:, None, None, None] * k_t[None]
+                )
+                g = _switch(tg, self.cost3, x, u, w)
+                J = J + g
+                if nc > 0:
+                    c_t = _switch(tc, self.con3, x, u, w)  # [nb,nc,S,L]
+                    iq = iq_t[None, :, None, None]
+                    lam = lam_t[None]
+                    rho = rho_t[None]
+                    inactive = iq & (c_t < 0.0) & (lam == 0.0)
+                    a = jnp.where(inactive, 0.0, 1.0).astype(dtype)
+                    J = J + jnp.sum(
+                        lam * c_t + 0.5 * a * rho * c_t * c_t, axis=1
+                    )
+                xn = _switch(td, self.dyn3, x, u, w)
+                return (xn, J), jnp.zeros((), dtype)
+
+            x0 = jnp.broadcast_to(xbar[0][None], (nb, nx, S, 128))
+            (x_last, J_b), _ = jax.lax.scan(
+                score_step, (x0, jnp.zeros((nb, S, 128), dtype)),
+                scan_inputs, unroll=o.scan_unroll,
+            )
+            u0 = jnp.zeros((nb, nu, S, 128), dtype)
+            gT = self.cost3[self.gT](x_last, u0, ws[-1])
+            J_b = J_b + gT
+            if nc > 0:
+                cT = self.con3[self.cT](x_last, u0, ws[-1])
+                iq = self.ineq_t[-1][None, :, None, None]
+                lam = duals[-1][None]
+                rho = penalty[-1][None]
+                inactive = iq & (cT < 0.0) & (lam == 0.0)
+                a = jnp.where(inactive, 0.0, 1.0).astype(dtype)
+                J_b = J_b + jnp.sum(
+                    lam * cT + 0.5 * a * rho * cT * cT, axis=1
+                )
+            return J_b
+
+        def acc(J_blk, alphas_blk):
             return (
-                J_blk <= J_prev[None] + c1 * alpha_blk * slope[None]
+                J_blk
+                <= J_prev[None]
+                + c1 * alphas_blk[:, None, None] * slope[None]
             ) & jnp.isfinite(J_blk)
 
-        # block 0: the full step, scored + emitted in one scan
-        a0 = bcast(alphas[:1])
-        J_0, traj0 = score_block(a0, emit=True)
-        ok0 = acc(J_0, a0)[0]                              # [S,L]
-        settled0 = ok0 if need is None else (ok0 | ~need)
-        all_full = jnp.all(settled0)
-
         n1 = min(8, na)
-        if na > 1:
-            # block 1: candidates 1..n1-1, only when some needed lane did
-            # not accept the full step
-            J_1 = jax.lax.cond(
-                all_full,
-                lambda: jnp.full((n1 - 1,) + J_0.shape[1:], jnp.inf, dtype),
-                lambda: score_block(bcast(alphas[1:n1])),
-            )
-            J_head = jnp.concatenate([J_0, J_1], axis=0)
-        else:
-            J_head = J_0
+        J_head = score_block(alphas[:n1])
         if na > n1:
             # tail block only when some result-consuming lane has no head
             # acceptance (the winner is the LARGEST accepted alpha, so the
             # tail cannot change lanes that already accepted in the head)
-            head_ok = jnp.any(acc(J_head, bcast(alphas[:n1])), axis=0)
+            head_ok = jnp.any(acc(J_head, alphas[:n1]), axis=0)   # [S,L]
             settled = head_ok if need is None else (head_ok | ~need)
             J_tail = jax.lax.cond(
                 jnp.all(settled),
                 lambda: jnp.full((na - n1,) + J_head.shape[1:], jnp.inf,
                                  dtype),
-                lambda: score_block(bcast(alphas[n1:])),
+                lambda: score_block(alphas[n1:]),
             )
             J_c = jnp.concatenate([J_head, J_tail], axis=0)
         else:
             J_c = J_head
 
-        accept = acc(J_c, bcast(alphas))
+        accept = acc(J_c, alphas)
         status = jnp.any(accept, axis=0)                   # [S,L]
         idx = jnp.argmax(accept, axis=0)                   # [S,L]
         alpha_win = alphas[idx]
         J_win = jnp.take_along_axis(J_c, idx[None], axis=0)[0]
 
-        # winner trajectory: when every needed lane took the full step the
-        # block-0 emit IS the winner (needed lanes all have idx 0); the
-        # per-lane re-roll otherwise.  Its J is discarded — the accepted
-        # objective is the scoring value (ops/forward.py docstring).
-        if na > 1:
-            xs_w, us_w, c_w = jax.lax.cond(
-                all_full,
-                lambda: strip(traj0),
-                lambda: strip(score_block(alpha_win[None], emit=True)[1]),
-            )
-        else:
-            xs_w, us_w, c_w = strip(traj0)
+        xs_w, us_w, _J_reroll, c_w = roll(alpha_win, emit=True)
         xs = jnp.where(status, xs_w, xbar)
         us = jnp.where(status, us_w, ubar)
         J = jnp.where(status, J_win, J_prev)
