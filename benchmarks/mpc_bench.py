@@ -65,12 +65,21 @@ def run_case(T, opts_kwargs, carry_duals, steps, dtype):
     lat = []
     viols = []
     iters = []
+    # XLA:CPU x64 workaround: feeding the fused solve's f64 outputs back as
+    # inputs to the same executable corrupts the heap (upstream aliasing
+    # bug; repro in CLAUDE.md) — break the buffer chain with host copies.
+    # Never applied on TPU (would add host round trips to the measurement).
+    host_copy = jax.default_backend() == "cpu" and dtype == jnp.float64
     for i in range(steps):
         t0 = time.perf_counter()
         out = step(state, x, ws)
         jax.block_until_ready(out.action)
         lat.append(time.perf_counter() - t0)
         state = out.state
+        if host_copy:
+            state = jax.tree.map(
+                lambda a: jnp.asarray(np.asarray(a)), state
+            )
         viols.append(float(out.solution.max_violation))
         iters.append(int(out.solution.iterations))
         dist = jnp.asarray(
