@@ -119,20 +119,33 @@ class Options:
     # max_iterations (exact reference semantics). ---
     early_round_iteration_cap: "int | None" = None
 
+    # --- new: progress gate for early_round_iteration_cap truncations.
+    # A round may TRUNCATE only while the instance's max constraint
+    # violation is strictly below the previous AL round boundary's — a
+    # round that reaches the cap without having improved feasibility keeps
+    # iterating to its natural end (and so performs a proper dual ascent).
+    # This blocks the measured truncation failure mode at its signature:
+    # the 2/4096 round-2 "schedule-fragile" instances rode an unbroken run
+    # of no-progress truncations — penalty escalating a decade per round,
+    # duals never ascending (reference ascent rule:
+    # src/augmented_lagrangian.jl:87-110) — to max_penalty
+    # ill-conditioning and exited infeasible.  Healthy truncated rounds
+    # (the ones that carry the cap's ~10%+ throughput win) reduce the
+    # violation every round and pass the gate untouched.  Ignored when
+    # early_round_iteration_cap is None. ---
+    truncation_requires_progress: bool = True
+
     # --- new: consecutive-truncation limit for early_round_iteration_cap.
     # An instance may truncate at most this many AL rounds IN A ROW; the
     # next round then runs to natural completion (and so performs a proper
-    # dual ascent).  Rationale: an unbroken run of truncated rounds is pure
-    # penalty continuation — the penalty escalates a decade per round while
-    # the duals never ascend, and the hardest instances were measured to
-    # ride that to max_penalty ill-conditioning and exit infeasible
-    # (2/4096 at cap=32 with no limit, the round-2 "schedule-fragile"
-    # failures).  Forcing a full round every few truncations restores the
-    # dual ascent the AL method's convergence rests on (reference ascent
-    # rule: src/augmented_lagrangian.jl:87-110) while keeping the cap's
-    # savings on the rounds that dominate.  Ignored when
+    # dual ascent).  With the progress gate above (the primary safety
+    # mechanism — it reacts to the doom-loop's signature, stalled
+    # feasibility, instead of penalizing healthy streaks) this is a pure
+    # backstop: streaks of PROGRESSING truncations are legitimate and
+    # forcing a full round every 2 of them was measured as a throughput
+    # REGRESSION (parity bench 5.4k -> 4.8k solves/s/chip).  Ignored when
     # early_round_iteration_cap is None. ---
-    max_consecutive_truncations: int = 2
+    max_consecutive_truncations: int = 16
 
     # --- new: hard TOTAL inner-iteration budget across all AL rounds
     # (real-time-iteration mode; None = unlimited).  Unlike max_iterations

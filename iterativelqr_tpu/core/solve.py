@@ -282,7 +282,8 @@ def make_solve_fn(
         new_duals = jnp.where(truncated, duals, new_duals)
         return new_duals, new_penalty
 
-    def ilqr(xs, us, ws, duals, penalty, reg, it_offset=0, it_cap=None):
+    def ilqr(xs, us, ws, duals, penalty, reg, it_offset=0, it_cap=None,
+             viol_gate=None):
         """Inner iLQR loop, restructured for single-trace bodies.
 
         The reference order is {derive+backward before the loop; loop: forward,
@@ -314,7 +315,14 @@ def make_solve_fn(
             c = (~s.stop) & (s.it < options.max_iterations)
             if it_cap is not None:
                 # inexact early AL rounds (options.early_round_iteration_cap)
-                c = c & (s.it < it_cap)
+                at_cap = s.it >= it_cap
+                if viol_gate is not None:
+                    # truncation requires progress: at the cap the round
+                    # keeps iterating until the violation is strictly below
+                    # the previous round boundary's (options.py; identical
+                    # decision points to the fused body's in-round gate)
+                    at_cap = at_cap & (s.viol < viol_gate)
+                c = c & ~at_cap
             if options.max_total_iterations is not None:
                 c = c & (it_offset + s.it < options.max_total_iterations)
             return c
@@ -450,6 +458,7 @@ def make_solve_fn(
                 | (~status)
                 | (inner1 >= options.max_iterations)
             )
+            viol = viol_of(c_n)
             truncated = jnp.asarray(False)
             if options.early_round_iteration_cap is not None:
                 # inexact early rounds: truncate rounds at the cap, as pure
@@ -463,11 +472,13 @@ def make_solve_fn(
                 # completion: it establishes the nominal trajectory, and
                 # truncating it mid-swing was measured to strand the hardest
                 # instances in a line-search-failure/ascent doom loop.
-                # Consecutive truncations are limited (max_consecutive_
-                # truncations): after the streak the round must run to its
-                # natural end so a real dual ascent fires — an unbroken
-                # truncation run escalates the penalty with no ascent and
-                # was measured to strand 2/4096 instances infeasible.
+                # Truncation requires PROGRESS (truncation_requires_progress,
+                # the default): a round at the cap keeps iterating until the
+                # violation is strictly below the previous round boundary's —
+                # an unbroken no-progress truncation run escalates the
+                # penalty with no ascent and was measured to strand 2/4096
+                # instances infeasible.  The consecutive-truncation limit is
+                # a backstop on top (options.py).
                 cap_fired = (
                     (inner1 >= options.early_round_iteration_cap)
                     & (s.al_it > 0)
@@ -475,9 +486,10 @@ def make_solve_fn(
                     & (s.trunc_streak
                        < options.max_consecutive_truncations)
                 )
+                if options.truncation_requires_progress:
+                    cap_fired = cap_fired & (viol < s.viol_prev)
                 truncated = cap_fired & ~round_end
                 round_end = round_end | cap_fired
-            viol = viol_of(c_n)
             feasible = viol <= options.constraint_tolerance
             solve_done = round_end & (
                 feasible | (s.al_it + 1 >= options.max_dual_updates)
@@ -647,6 +659,12 @@ def make_solve_fn(
             inner = ilqr(
                 s.xs, s.us, s.ws, s.duals, s.penalty, s.reg, s.total_iters,
                 it_cap,
+                viol_gate=(
+                    s.viol_prev
+                    if (it_cap is not None
+                        and options.truncation_requires_progress)
+                    else None
+                ),
             )
             # break *before* the dual update when already feasible
             # (reference: src/solve.jl:113-121).  The violation and the dual
@@ -666,9 +684,14 @@ def make_solve_fn(
             truncated = jnp.asarray(False)
             if it_cap is not None:
                 # round ended by the cap, not by converging (inner stop
-                # flag unset and the budget consumed)
-                truncated = (~inner.stop) & (inner.it >= it_cap) & (
-                    it_cap < options.max_iterations
+                # flag unset and the budget consumed).  A gated round that
+                # ran all the way to max_iterations (progress never made)
+                # ended like an uncapped round and must ascend normally.
+                truncated = (
+                    (~inner.stop)
+                    & (inner.it >= it_cap)
+                    & (it_cap < options.max_iterations)
+                    & (inner.it < options.max_iterations)
                 )
             if nc > 0:
                 new_duals, new_penalty = al_transition(

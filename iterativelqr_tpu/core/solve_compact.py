@@ -318,6 +318,14 @@ def make_compacted_solve_fn(
             viol = np.asarray(sol.max_violation)
             failed = np.flatnonzero(viol > options.constraint_tolerance)
             if failed.size:
+                # visible in bench logs: a healthy default schedule
+                # (truncation_requires_progress) should never need this
+                print(
+                    f"[compact] rescue: {failed.size} lane(s) exited "
+                    "infeasible under the truncated schedule; re-solving "
+                    "at the exact uncapped schedule",
+                    flush=True,
+                )
                 xs_b, us_b, ws_b, warm = st.inputs
                 sol = _run_rescue(
                     sol, failed, xs_b, us_b, ws_b, warm, dev=st.dev

@@ -115,23 +115,26 @@ def make_sl_parts(
                 | (~status)
                 | (inner1 >= o.max_iterations)
             )
+            viol = ops.max_violation(c_n)
             truncated = jnp.zeros(inner1.shape, bool)
             if o.early_round_iteration_cap is not None:
                 # inexact early rounds: penalty-continuation truncation —
                 # no ascent, no dual-budget consumption; termination via the
-                # uncapped worst-case bound (core/solve.py fused body)
-                # first round never truncates; consecutive truncations are
-                # limited so a real dual ascent still fires
-                # (core/solve.py fused body note; options.py)
+                # uncapped worst-case bound (core/solve.py fused body).
+                # first round never truncates; truncation requires progress
+                # (strictly reduced violation vs the previous round
+                # boundary), with the consecutive-truncation limit as a
+                # backstop (core/solve.py fused body note; options.py)
                 cap_fired = (
                     (inner1 >= o.early_round_iteration_cap)
                     & (s.al_it > 0)
                     & (s.al_it + 1 < o.max_dual_updates)
                     & (s.trunc_streak < o.max_consecutive_truncations)
                 )
+                if o.truncation_requires_progress:
+                    cap_fired = cap_fired & (viol < s.viol_prev)
                 truncated = cap_fired & ~round_end
                 round_end = round_end | cap_fired
-            viol = ops.max_violation(c_n)
             feasible = viol <= o.constraint_tolerance
             solve_done = round_end & (
                 feasible | (s.al_it + 1 >= o.max_dual_updates)

@@ -136,9 +136,9 @@ def test_rescue_resolves_capped_failures():
     infeasible must be re-solved at the exact uncapped schedule and patched
     into the Solution: the capped driver's solved set is a superset of the
     uncapped solver's.  Scenario: frozen penalty (scaling_penalty=1) makes
-    feasibility REQUIRE dual ascent; cap=1 with the limiter disabled
-    (max_consecutive_truncations=999) never ascends, so at least one lane
-    exits infeasible and triggers the rescue."""
+    feasibility REQUIRE dual ascent; cap=1 with BOTH in-solver safety
+    mechanisms disabled (progress gate off, limiter off) never ascends, so
+    at least one lane exits infeasible and triggers the rescue."""
     T, B = 8, 16
     dynamics, objective, constraints, x1, _ = car.problem(T)
     spec = build_spec(dynamics, objective, constraints)
@@ -158,6 +158,7 @@ def test_rescue_resolves_capped_failures():
         max_dual_updates=10, batched_solver="sl",
         scaling_penalty=1.0, adaptive_penalty=False,
         early_round_iteration_cap=1, max_consecutive_truncations=999,
+        truncation_requires_progress=False,
     )
     tol = opts.constraint_tolerance
     bare = make_compacted_solve_fn(

@@ -252,12 +252,13 @@ def test_sl_dual_warm_start_matches_vmap():
 def test_consecutive_truncation_limiter_restores_convergence():
     """With a frozen penalty (scaling_penalty=1) feasibility REQUIRES dual
     ascent — an unbroken run of truncated rounds (no ascent) can never
-    converge.  max_consecutive_truncations forces a full round (and so a
-    real ascent) after each streak: the default limiter must recover every
-    instance the unlimited-truncation schedule loses, matching the uncapped
-    solve; and the vmap path must agree with the SL path on the limiter's
-    iterate sequence.  (AL ascent semantics:
-    /root/reference/src/augmented_lagrangian.jl:87-110.)"""
+    converge.  Both safety mechanisms must independently recover every
+    instance the unguarded truncation schedule loses: the progress gate
+    (truncation_requires_progress, the default — no-progress rounds run to
+    natural completion and so perform a real ascent) and the
+    consecutive-truncation limiter backstop; and the vmap path must agree
+    with the SL path on the default safety semantics.  (AL ascent
+    semantics: /root/reference/src/augmented_lagrangian.jl:87-110.)"""
     T, B = 8, 16
     dynamics, objective, constraints, x1, _ = car.problem(T)
     spec = build_spec(dynamics, objective, constraints)
@@ -286,21 +287,32 @@ def test_consecutive_truncation_limiter_restores_convergence():
     tol = Options(**base).constraint_tolerance
     ref = run()  # uncapped
     assert bool((np.asarray(ref.max_violation) <= tol).all())
-    # limiter disabled: pure penalty-continuation, at least one lane stuck
-    loose = run(early_round_iteration_cap=1, max_consecutive_truncations=999)
+    # all safety off: pure penalty-continuation, at least one lane stuck
+    loose = run(
+        early_round_iteration_cap=1, max_consecutive_truncations=999,
+        truncation_requires_progress=False,
+    )
     n_stuck = int((np.asarray(loose.max_violation) > tol).sum())
     assert n_stuck >= 1, "scenario no longer exercises the failure mode"
-    # default limiter: every lane recovered
-    lim = run(early_round_iteration_cap=1)
+    # progress gate alone (the default mechanism): every lane recovered
+    gated = run(early_round_iteration_cap=1,
+                max_consecutive_truncations=999)
+    assert bool((np.asarray(gated.max_violation) <= tol).all())
+    # legacy streak limiter alone: every lane recovered
+    lim = run(early_round_iteration_cap=1, max_consecutive_truncations=2,
+              truncation_requires_progress=False)
     assert bool((np.asarray(lim.max_violation) <= tol).all())
-    # and the vmap path implements the same limiter semantics
-    lim_vmap = make_batched_solve_fn(
+    # and the vmap path implements the same default safety semantics
+    cap_default = run(early_round_iteration_cap=1)
+    cap_vmap = make_batched_solve_fn(
         spec, Options(**{**base, "batched_solver": "vmap"},
                       early_round_iteration_cap=1)
     )(xs, us, ws)
+    assert bool((np.asarray(cap_default.max_violation) <= tol).all())
     np.testing.assert_array_equal(
-        np.asarray(lim.iterations), np.asarray(lim_vmap.iterations)
+        np.asarray(cap_default.iterations), np.asarray(cap_vmap.iterations)
     )
     np.testing.assert_array_equal(
-        np.asarray(lim.al_iterations), np.asarray(lim_vmap.al_iterations)
+        np.asarray(cap_default.al_iterations),
+        np.asarray(cap_vmap.al_iterations)
     )
