@@ -194,15 +194,13 @@ def main():
             # 9-candidate alpha grid: identical convergence on this problem
             # (accepted steps never fall below 4e-3), ~4x cheaper line search
             min_step_size=4.0e-3,
-            backward_pass="packed" if jax.default_backend() == "tpu" else "scan",
         )
     else:
-        opts = Options(
-            verbose=False, record_traces=False,
-            # the packed pipeline changes implementation, not semantics
-            # (identical iterates; see ops/packed_pipeline.py)
-            backward_pass="packed" if jax.default_backend() == "tpu" else "scan",
-        )
+        # parity preset IS the library default: backward_pass="auto" +
+        # batched_solver="auto" select the packed/SL stack on TPU
+        # (parallel/batch.py::_sl_eligible) and the scan/assoc regime rule
+        # elsewhere — no hand-set performance knobs
+        opts = Options(verbose=False, record_traces=False)
     if args.early_cap is not None or args.mct is not None:
         import dataclasses
 
@@ -277,7 +275,7 @@ def main():
         )
         use_compact = (
             not args.no_compact
-            and opts.backward_pass == "packed"
+            and opts.backward_pass in ("packed", "auto")
             and jax.default_backend() == "tpu"
         )
 
@@ -317,7 +315,7 @@ def main():
     else:
         use_compact_nd = (
             not args.no_compact
-            and opts.backward_pass == "packed"
+            and opts.backward_pass in ("packed", "auto")
             and jax.default_backend() == "tpu"
         )
         if use_compact_nd:

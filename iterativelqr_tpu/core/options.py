@@ -94,9 +94,14 @@ class Options:
     #           backward + Armijo-slope chain runs batch-trailing so the
     #           derivative stacks are born in the kernel's packed layout;
     #           single-instance and non-TPU calls fall back to scan
-    # "auto":   associative for single-instance (latency-bound) solves,
-    #           scan under vmap (throughput-bound batches) — measured regimes
-    backward_pass: str = "scan"
+    # "auto" (default): associative for single-instance (latency-bound)
+    #           solves, scan under vmap (throughput-bound batches) — measured
+    #           regimes (ops/backward.py::_assoc_wins); on TPU, batched
+    #           solves through make_batched_solve_fn additionally select the
+    #           packed/SL stack (parallel/batch.py::_sl_eligible), so a plain
+    #           Options() user gets the measured-best configuration at every
+    #           (B, T) without hand-set knobs
+    backward_pass: str = "auto"
 
     # --- new: inexact early AL rounds (part of the adaptive schedule).
     # Converging every INTERMEDIATE AL subproblem to the full tolerances
@@ -121,19 +126,25 @@ class Options:
 
     # --- new: progress gate for early_round_iteration_cap truncations.
     # A round may TRUNCATE only while the instance's max constraint
-    # violation is strictly below the previous AL round boundary's — a
-    # round that reaches the cap without having improved feasibility keeps
+    # violation is GEOMETRICALLY below the previous AL round boundary's
+    # (viol < truncation_progress_factor * viol_prev) — a round that
+    # reaches the cap without that much feasibility progress keeps
     # iterating to its natural end (and so performs a proper dual ascent).
     # This blocks the measured truncation failure mode at its signature:
-    # the 2/4096 round-2 "schedule-fragile" instances rode an unbroken run
-    # of no-progress truncations — penalty escalating a decade per round,
-    # duals never ascending (reference ascent rule:
-    # src/augmented_lagrangian.jl:87-110) — to max_penalty
-    # ill-conditioning and exited infeasible.  Healthy truncated rounds
-    # (the ones that carry the cap's ~10%+ throughput win) reduce the
-    # violation every round and pass the gate untouched.  Ignored when
-    # early_round_iteration_cap is None. ---
+    # schedule-fragile instances ride an unbroken run of near-no-progress
+    # truncations — penalty escalating (or, under a frozen penalty, doing
+    # nothing at all), duals never ascending (reference ascent rule:
+    # src/augmented_lagrangian.jl:87-110) — until the iteration budget is
+    # exhausted and they exit infeasible.  A strict-decrease gate
+    # (factor 1.0) was measured INSUFFICIENT: a doom-looping lane shaving
+    # ~0.03%/round off its violation passes strict decrease forever
+    # (tests/test_solve_sl.py frozen-penalty scenario, lane stuck at 1.049
+    # vs tol 5e-3).  Healthy truncated rounds (the ones that carry the
+    # cap's throughput win) cut the violation by several-x per round —
+    # far below the default 0.75 factor — and pass untouched.  Ignored
+    # when early_round_iteration_cap is None. ---
     truncation_requires_progress: bool = True
+    truncation_progress_factor: float = 0.75
 
     # --- new: consecutive-truncation limit for early_round_iteration_cap.
     # An instance may truncate at most this many AL rounds IN A ROW; the
@@ -155,6 +166,20 @@ class Options:
     # mid-convergence dual ascents (measured: capping via max_iterations=5
     # diverged acrobot MPC to viol 3e7 AND ran slower than uncapped). ---
     max_total_iterations: "int | None" = None
+
+    # --- new: line-search rollout kernel selector (SL batched solver) ---
+    # The scoring/re-roll scans are T-step sequential recursions of tiny
+    # per-step work — latency-bound on XLA loop-step issue (~28us/step at
+    # B=4096 vs <1us of compute; docs/design.md section 4 fact 6).  The
+    # chunked double-buffered-DMA pallas kernels
+    # (ops/sl_forward_kernel.py) run each whole scan in ONE kernel launch,
+    # the same fix already measured at 41x on the backward recursion.
+    # "auto": kernels on TPU when the spec qualifies (stage-uniform
+    #         dispatch — ops/sl_forward_kernel.kernel_eligible); scan
+    #         elsewhere.  "pallas": require the kernels (raises if the spec
+    #         is ineligible; with interpret=True runs interpreted — tests).
+    # "scan": always the XLA lax.scan path.
+    forward_kernel: str = "auto"
 
     # --- new: batched-solver implementation selector ---
     # "auto": on TPU with backward_pass="packed", no traces/live_progress and
@@ -185,8 +210,14 @@ class Options:
             raise ValueError(f"unknown backward_pass {self.backward_pass!r}")
         if self.batched_solver not in ("auto", "vmap", "sl"):
             raise ValueError(f"unknown batched_solver {self.batched_solver!r}")
+        if self.forward_kernel not in ("auto", "pallas", "scan"):
+            raise ValueError(f"unknown forward_kernel {self.forward_kernel!r}")
         if self.max_total_iterations is not None and self.max_total_iterations < 1:
             raise ValueError("max_total_iterations must be >= 1")
+        if not (0.0 < self.truncation_progress_factor <= 1.0):
+            raise ValueError(
+                "truncation_progress_factor must be in (0, 1]"
+            )
         if (self.early_round_iteration_cap is not None
                 and self.early_round_iteration_cap < 1):
             raise ValueError("early_round_iteration_cap must be >= 1")

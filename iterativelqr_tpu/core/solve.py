@@ -317,11 +317,15 @@ def make_solve_fn(
                 # inexact early AL rounds (options.early_round_iteration_cap)
                 at_cap = s.it >= it_cap
                 if viol_gate is not None:
-                    # truncation requires progress: at the cap the round
-                    # keeps iterating until the violation is strictly below
-                    # the previous round boundary's (options.py; identical
-                    # decision points to the fused body's in-round gate)
-                    at_cap = at_cap & (s.viol < viol_gate)
+                    # truncation requires geometric progress: at the cap the
+                    # round keeps iterating until the violation is below
+                    # truncation_progress_factor * the previous round
+                    # boundary's (options.py; identical decision points to
+                    # the fused body's in-round gate)
+                    at_cap = at_cap & (
+                        s.viol
+                        < options.truncation_progress_factor * viol_gate
+                    )
                 c = c & ~at_cap
             if options.max_total_iterations is not None:
                 c = c & (it_offset + s.it < options.max_total_iterations)
@@ -472,13 +476,14 @@ def make_solve_fn(
                 # completion: it establishes the nominal trajectory, and
                 # truncating it mid-swing was measured to strand the hardest
                 # instances in a line-search-failure/ascent doom loop.
-                # Truncation requires PROGRESS (truncation_requires_progress,
-                # the default): a round at the cap keeps iterating until the
-                # violation is strictly below the previous round boundary's —
-                # an unbroken no-progress truncation run escalates the
-                # penalty with no ascent and was measured to strand 2/4096
-                # instances infeasible.  The consecutive-truncation limit is
-                # a backstop on top (options.py).
+                # Truncation requires GEOMETRIC progress
+                # (truncation_requires_progress, the default): a round at
+                # the cap keeps iterating until the violation is below
+                # truncation_progress_factor * the previous round
+                # boundary's — strict decrease alone was measured
+                # insufficient (an infinitesimal-progress doom loop passes
+                # it forever; options.py).  The consecutive-truncation
+                # limit is a backstop on top (options.py).
                 cap_fired = (
                     (inner1 >= options.early_round_iteration_cap)
                     & (s.al_it > 0)
@@ -487,7 +492,10 @@ def make_solve_fn(
                        < options.max_consecutive_truncations)
                 )
                 if options.truncation_requires_progress:
-                    cap_fired = cap_fired & (viol < s.viol_prev)
+                    cap_fired = cap_fired & (
+                        viol
+                        < options.truncation_progress_factor * s.viol_prev
+                    )
                 truncated = cap_fired & ~round_end
                 round_end = round_end | cap_fired
             feasible = viol <= options.constraint_tolerance

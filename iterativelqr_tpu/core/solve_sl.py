@@ -79,7 +79,7 @@ def make_sl_parts(
 
     o = options
     nc, T = spec.nc, spec.T
-    ops = SLOps(spec, o)
+    ops = SLOps(spec, o, interpret=interpret)
     derive = make_derive_backward_sl(spec, o, interpret=interpret)
 
     def body(ws):
@@ -121,10 +121,12 @@ def make_sl_parts(
                 # inexact early rounds: penalty-continuation truncation —
                 # no ascent, no dual-budget consumption; termination via the
                 # uncapped worst-case bound (core/solve.py fused body).
-                # first round never truncates; truncation requires progress
-                # (strictly reduced violation vs the previous round
-                # boundary), with the consecutive-truncation limit as a
-                # backstop (core/solve.py fused body note; options.py)
+                # first round never truncates; truncation requires GEOMETRIC
+                # progress (violation below truncation_progress_factor * the
+                # previous round boundary's — strict decrease admits an
+                # infinitesimal-progress doom loop), with the
+                # consecutive-truncation limit as a backstop (core/solve.py
+                # fused body note; options.py)
                 cap_fired = (
                     (inner1 >= o.early_round_iteration_cap)
                     & (s.al_it > 0)
@@ -132,7 +134,9 @@ def make_sl_parts(
                     & (s.trunc_streak < o.max_consecutive_truncations)
                 )
                 if o.truncation_requires_progress:
-                    cap_fired = cap_fired & (viol < s.viol_prev)
+                    cap_fired = cap_fired & (
+                        viol < o.truncation_progress_factor * s.viol_prev
+                    )
                 truncated = cap_fired & ~round_end
                 round_end = round_end | cap_fired
             feasible = viol <= o.constraint_tolerance

@@ -84,6 +84,16 @@ class Dynamics:
         w = jnp.zeros(self.num_parameter) if w is None else w
         return self._fn(x, u, w)
 
+    def _group_key(self):
+        """Semantic stage-type identity: two Dynamics wrapping the same user
+        function with the same dims are the same stage type even as distinct
+        wrapper objects (users often rebuild per-t lists)."""
+        return (
+            Dynamics, id(self.f), self.num_state, self.num_action,
+            self.num_parameter, self.num_next_state,
+            id(self.jacobian_state), id(self.jacobian_action),
+        )
+
 
 class Cost:
     """Stage cost g(x, u[, w]) -> scalar.
@@ -128,6 +138,13 @@ class Cost:
     def __call__(self, x, u, w=None):
         w = jnp.zeros(self.num_parameter) if w is None else w
         return self._fn(x, u, w)
+
+    def _group_key(self):
+        return (
+            Cost, id(self.f), self.num_state, self.num_action,
+            self.num_parameter,
+            tuple(id(m) for m in self.manual) if self.manual else None,
+        )
 
 
 class Constraint:
@@ -185,6 +202,18 @@ class Constraint:
             return jnp.zeros(0)
         w = jnp.zeros(self.num_parameter) if w is None else w
         return self._fn(x, u, w)
+
+    def _group_key(self):
+        # every empty block is the same stage type (f is None -> id(None)
+        # shared), so per-t `Constraint()` lists collapse to ONE type — this
+        # is what keeps stage dispatch uniform for the rollout kernels
+        # (ops/sl_forward_kernel.kernel_eligible)
+        return (
+            Constraint, id(self.f), self.num_state, self.num_action,
+            self.num_parameter, self.indices_inequality,
+            self.num_constraint,
+            id(self.jacobian_state), id(self.jacobian_action),
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -302,7 +331,10 @@ def _wrap_con(c: Constraint, nx: int, nu: int, npar: int, nc: int):
 
 
 def _group(objs):
-    """Group a per-timestep list by object identity.
+    """Group a per-timestep list by SEMANTIC stage-type identity
+    (``_group_key``: same user function + dims = same type, even across
+    distinct wrapper objects — e.g. ``[Constraint() for t in range(T-1)]``
+    collapses to one empty stage type).
 
     Returns (unique_objs, type_index ndarray [len(objs)], groups: list of
     ndarray timestep indices per unique obj).  Users typically instantiate one
@@ -312,7 +344,7 @@ def _group(objs):
     uniq, tidx = [], np.zeros(len(objs), dtype=np.int32)
     ids = {}
     for t, o in enumerate(objs):
-        key = id(o)
+        key = o._group_key() if hasattr(o, "_group_key") else id(o)
         if key not in ids:
             ids[key] = len(uniq)
             uniq.append(o)

@@ -140,14 +140,18 @@ def _make_auto_dispatch(unroll: int):
         reg_b = in_batched[8]
         um = u_mask[0] if um_b else u_mask
         reg_v = reg if reg_b else jnp.broadcast_to(reg, (axis_size,))
-        T = fx.shape[1] + 1  # fx is [B, T-1, nx, nx] under the rule
+        # constant-coefficient stacks (e.g. linear dynamics: fx/fu carry no
+        # batch dependence) arrive unbatched — map them with in_axes=None
+        stacks = (fx, fu, gx, gu, gxx, guu, gux)
+        axes = tuple(0 if b else None for b in in_batched[:7])
+        T = (fx.shape[1] if in_batched[0] else fx.shape[0]) + 1
         if _assoc_wins(axis_size, T):
             bp = backward_pass_associative
         else:
             bp = functools.partial(backward_pass_scan, unroll=unroll)
         out = jax.vmap(
-            lambda *a: bp(*a[:7], um, a[7])
-        )(fx, fu, gx, gu, gxx, guu, gux, reg_v)
+            lambda *a: bp(*a[:7], um, a[7]), in_axes=axes + (0,)
+        )(*stacks, reg_v)
         return out, tuple(True for _ in out)
 
     return dispatch

@@ -57,11 +57,53 @@ class SLOps:
     """Per-spec SL-layout operations, built once and closed over by the
     solver loop."""
 
-    def __init__(self, spec: ProblemSpec, options):
+    def __init__(self, spec: ProblemSpec, options, interpret: bool = False):
         self.spec = spec
         self.options = options
         T, nc = spec.T, spec.nc
         Tm1 = T - 1
+
+        # line-search rollout kernels (ops/sl_forward_kernel.py): one pallas
+        # launch per scoring block / winner re-roll instead of a T-step XLA
+        # scan (latency-bound on loop-step issue — options.py forward_kernel)
+        from . import sl_forward_kernel as fk
+
+        fkmode = getattr(options, "forward_kernel", "scan")
+        want = fkmode == "pallas" or (
+            fkmode == "auto"
+            and not interpret
+            and jax.default_backend() == "tpu"
+        )
+        self._fk_score = self._fk_reroll = None
+        if want and options.line_search == "armijo":
+            eligible = fk.kernel_eligible(spec) and fk.reroll_fits(
+                spec, options
+            )
+            if not eligible and fkmode == "pallas":
+                raise ValueError(
+                    'forward_kernel="pallas" requires stage-uniform '
+                    "dynamics/cost/constraint dispatch and VMEM-fitting "
+                    "re-roll outputs (ops/sl_forward_kernel.kernel_eligible)"
+                )
+            if eligible:
+                import numpy as _np
+
+                na = options.num_step_sizes
+                alphas_np = 0.5 ** _np.arange(na)
+                n1 = min(8, na)
+                self._fk_score = fk.make_score_rollout(
+                    spec, options, alphas_np[:n1], interpret=interpret
+                )
+                self._fk_score_tail = (
+                    fk.make_score_rollout(
+                        spec, options, alphas_np[n1:], interpret=interpret
+                    )
+                    if na > n1
+                    else None
+                )
+                self._fk_reroll = fk.make_winner_reroll(
+                    spec, options, interpret=interpret
+                )
         self.ineq_t = jnp.asarray(spec.ineq_mask)          # [T, nc] bool
         self.ineq_sl = self.ineq_t[:, :, None, None]
         self.cmask_sl = jnp.asarray(spec.c_mask)[:, :, None, None]
@@ -302,6 +344,29 @@ class SLOps:
         alphas = 0.5 ** jnp.arange(na, dtype=dtype)
         c1 = jnp.asarray(o.armijo_c1, dtype)
 
+        if self._fk_score is not None:
+            # pallas rollout kernels: one launch per scoring block and one
+            # for the winner re-roll (ops/sl_forward_kernel.py) — identical
+            # per-step math to the scans below, pinned by
+            # tests/test_sl_forward_kernel.py
+            score_head_fn = lambda: self._fk_score(
+                xbar, ubar, ws, K, k, duals, penalty
+            )
+            score_tail_fn = (
+                (lambda: self._fk_score_tail(
+                    xbar, ubar, ws, K, k, duals, penalty
+                ))
+                if self._fk_score_tail is not None
+                else None
+            )
+            roll_winner = lambda a: self._fk_reroll(
+                a, xbar, ubar, ws, K, k, duals, penalty
+            )
+        else:
+            score_head_fn = lambda: score_block(alphas[:n1])
+            score_tail_fn = (lambda: score_block(alphas[n1:]))
+            roll_winner = lambda a: roll(a, emit=True)
+
         def score_block(alphas_blk):
             """Score a block of candidates in one scan: the candidate axis
             rides axis 0 of the carry, shared per-step inputs read once."""
@@ -359,7 +424,7 @@ class SLOps:
             ) & jnp.isfinite(J_blk)
 
         n1 = min(8, na)
-        J_head = score_block(alphas[:n1])
+        J_head = score_head_fn()
         if na > n1:
             # tail block only when some result-consuming lane has no head
             # acceptance (the winner is the LARGEST accepted alpha, so the
@@ -370,7 +435,7 @@ class SLOps:
                 jnp.all(settled),
                 lambda: jnp.full((na - n1,) + J_head.shape[1:], jnp.inf,
                                  dtype),
-                lambda: score_block(alphas[n1:]),
+                score_tail_fn,
             )
             J_c = jnp.concatenate([J_head, J_tail], axis=0)
         else:
@@ -382,7 +447,7 @@ class SLOps:
         alpha_win = alphas[idx]
         J_win = jnp.take_along_axis(J_c, idx[None], axis=0)[0]
 
-        xs_w, us_w, _J_reroll, c_w = roll(alpha_win, emit=True)
+        xs_w, us_w, _J_reroll, c_w = roll_winner(alpha_win)
         xs = jnp.where(status, xs_w, xbar)
         us = jnp.where(status, us_w, ubar)
         J = jnp.where(status, J_win, J_prev)

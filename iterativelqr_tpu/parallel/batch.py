@@ -24,9 +24,13 @@ from ..core.spec import ProblemSpec
 
 
 def _sl_eligible(options: Options, callback) -> bool:
-    """Options the SL-layout batched solver (core/solve_sl.py) supports."""
+    """Options the SL-layout batched solver (core/solve_sl.py) supports.
+
+    ``backward_pass="auto"`` (the default) qualifies: on TPU the SL stack is
+    the measured-best batched configuration (README perf table), so a plain
+    ``Options()`` reaches it without hand-set knobs."""
     return (
-        options.backward_pass == "packed"
+        options.backward_pass in ("packed", "auto")
         and options.fused_al_loop
         and not options.record_traces
         and not options.live_progress
