@@ -235,9 +235,18 @@ def main():
                 stage_sl_derive_backward,
                 (xs_sl, us_sl, ws_sl, duals_sl, pen_sl, c_sl, reg_sl),
             ),
+            # forward_kernel="auto" (the default) picks the pallas rollout
+            # kernels on TPU; the explicit "scan" variant isolates their win
             "sl_line_search_full": (make_sl_ls(opts), ls_args),
+            "sl_line_search_full_scan": (
+                make_sl_ls(_dc.replace(opts, forward_kernel="scan")), ls_args
+            ),
             "sl_line_search_9alpha": (
                 make_sl_ls(_dc.replace(opts, min_step_size=4.0e-3)), ls_args
+            ),
+            "sl_line_search_9alpha_scan": (
+                make_sl_ls(_dc.replace(opts, min_step_size=4.0e-3,
+                                       forward_kernel="scan")), ls_args
             ),
         })
 

@@ -38,6 +38,7 @@ is TPU-native batch-scheduling machinery.
 from __future__ import annotations
 
 import dataclasses
+import logging
 
 import numpy as np
 
@@ -50,6 +51,7 @@ from .solve_sl import make_sl_parts, _SLCarry
 from .spec import ProblemSpec
 
 _GRAIN = 1024  # packed kernel batch granularity (ops/packed_backward.py)
+_log = logging.getLogger(__name__)
 
 
 def _round_up(x, mult):
@@ -67,6 +69,7 @@ def make_compacted_solve_fn(
     cache_key: str | None = None,
     dual_warm_start: bool = False,
     rescue: bool = True,
+    rescue_options: Options | None = None,
     devices=None,
 ):
     """Build a host-callable ``(xs [B,T,nx], us, ws) -> Solution``.
@@ -77,14 +80,17 @@ def make_compacted_solve_fn(
     jax.export program cache under this key prefix.
     ``dual_warm_start``: the callable takes two extra batch-leading arrays
     ``(duals0 [B,T,nc], penalty0 [B,T,nc])``.
-    ``rescue``: with ``early_round_iteration_cap`` set, any instance that
-    exits infeasible under the truncated schedule is RE-SOLVED from its
-    original inputs at the exact uncapped schedule (in one small
-    grain-sized batch) and its Solution rows replaced — so the capped
-    driver's solved set is always a superset of the uncapped solver's.
-    The rescue programs are built lazily (first failure) and only exist
-    when a cap is configured; a rescue re-solve costs one extra dispatch
-    of a _GRAIN-sized batch, paid only on the rare capped-schedule miss.
+    ``rescue``: failed-lane re-solves from the ORIGINAL inputs, in one
+    small grain-sized batch, patched into the Solution rows.  Two stages:
+    (1) with ``early_round_iteration_cap`` set, any instance that exits
+    infeasible under the truncated schedule is re-solved at the exact
+    uncapped schedule — so the capped driver's solved set is always a
+    superset of the uncapped solver's; (2) any instance still infeasible
+    or NaN (genuine divergence, e.g. the f32 conditioning blow-ups seen
+    at B=16384 — docs/design.md section 3 "Scale note") is re-solved once
+    at escalated initial regularization (max(reg_init, 1e-3)).  All
+    rescue programs are built lazily on first failure; each firing costs
+    one extra dispatch of a _GRAIN-sized batch.
 
     ``devices``: a sequence of >1 jax devices runs PER-DEVICE compaction —
     the batch splits into one contiguous sub-batch per device, each with
@@ -114,6 +120,22 @@ def make_compacted_solve_fn(
             dataclasses.replace(options, early_round_iteration_cap=None),
             interpret=interpret, dual_warm_start=dual_warm_start,
         )
+    # generalized rescue (any schedule): lanes that exit infeasible or NaN
+    # even UNCAPPED are re-solved once under ``rescue_options`` (default:
+    # escalated initial regularization — the divergence signature at scale
+    # is a conditioning blow-up in the first aggressive f32 iterations,
+    # docs/design.md section 3 "Scale note", which a nonzero reg floor
+    # damps).  Lazily built: the parts exist only if such a lane appears.
+    rescue_strong_opts = None
+    if rescue:
+        rescue_strong_opts = rescue_options or dataclasses.replace(
+            options,
+            early_round_iteration_cap=None,
+            regularization_initial=max(
+                options.regularization_initial, 1.0e-3
+            ),
+        )
+    rescue_strong_parts_box = []
 
     def _mk_chunk_host(p):
         def _chunk_host(carry, ws, n_iters):
@@ -180,36 +202,40 @@ def make_compacted_solve_fn(
     def _put(a, dev):
         return a if dev is None else jax.device_put(a, dev)
 
-    def _run_rescue(sol, failed, xs_b, us_b, ws_b, warm, dev=None):
-        # exact-schedule re-solve of the failed lanes, from their ORIGINAL
-        # inputs: per-lane results are bitwise those of the uncapped
-        # single-shot SL solver.  One dispatch: the while loop inside the
-        # chunk program runs to all-stop under the uncapped worst-case
-        # iteration bound.
+    def _run_rescue(sol, failed, xs_b, us_b, ws_b, warm, dev=None,
+                    parts_r=None, tag="rescue", opts_r=None):
+        # re-solve of the failed lanes, from their ORIGINAL inputs, under
+        # parts_r's schedule (tag "rescue": the exact uncapped schedule —
+        # per-lane results bitwise the uncapped single-shot SL solver's;
+        # tag "rescue_strong": escalated initial regularization).  One
+        # dispatch: the while loop inside the chunk program runs to
+        # all-stop under the uncapped worst-case iteration bound.
         Br = max(_GRAIN, _round_up(failed.size, _GRAIN))
         sel = np.resize(failed, Br)  # tile to fill; replicas discarded
         ins = tuple(
             _put(jnp.asarray(np.asarray(a)[sel]), dev)
             for a in (xs_b, us_b, ws_b, *warm)
         )
-        n_bound = jnp.int32(options.max_iterations * options.max_dual_updates)
-        if Br not in rescue_fns:
+        opts_r = opts_r or options
+        n_bound = jnp.int32(opts_r.max_iterations * opts_r.max_dual_updates)
+        key = (tag, Br)
+        if key not in rescue_fns:
             init_r = _cached(
-                lambda: rescue_parts.init, f"rescue_init_B{Br}", ins
+                lambda: parts_r.init, f"{tag}_init_B{Br}", ins
             )
             carry0, ws_r0 = init_r(*ins)
             chunk_r = _cached(
-                lambda: _mk_chunk_host(rescue_parts), f"rescue_chunk_B{Br}",
+                lambda: _mk_chunk_host(parts_r), f"{tag}_chunk_B{Br}",
                 (carry0, ws_r0, n_bound),
             )
             # example args need only shapes/dtypes: the post-chunk carry is
             # the same pytree as the initial one
             finish_r = _cached(
-                lambda: lambda c, w: rescue_parts.finish(c, w, Br),
-                f"rescue_finish_B{Br}", (carry0, ws_r0),
+                lambda: lambda c, w: parts_r.finish(c, w, Br),
+                f"{tag}_finish_B{Br}", (carry0, ws_r0),
             )
-            rescue_fns[Br] = (init_r, chunk_r, finish_r)
-        init_r, chunk_r, finish_r = rescue_fns[Br]
+            rescue_fns[key] = (init_r, chunk_r, finish_r)
+        init_r, chunk_r, finish_r = rescue_fns[key]
         carry_r, ws_r = init_r(*ins)
         sol_r = finish_r(chunk_r(carry_r, ws_r, n_bound), ws_r)
 
@@ -314,21 +340,48 @@ def make_compacted_solve_fn(
                 f"finish_B{st.B}", (st.carry_full, st.ws_full),
             )
         sol = finish_fns[st.B](st.carry_full, st.ws_full)
+        tol = options.constraint_tolerance
+
+        def _failed(s):
+            # ~(viol <= tol), NOT viol > tol: NaN lanes (genuine f32
+            # divergence) must count as failed
+            viol = np.asarray(s.max_violation)
+            return np.flatnonzero(~(viol <= tol))
+
         if rescue_parts is not None:
-            viol = np.asarray(sol.max_violation)
-            failed = np.flatnonzero(viol > options.constraint_tolerance)
+            failed = _failed(sol)
             if failed.size:
-                # visible in bench logs: a healthy default schedule
-                # (truncation_requires_progress) should never need this
-                print(
-                    f"[compact] rescue: {failed.size} lane(s) exited "
-                    "infeasible under the truncated schedule; re-solving "
-                    "at the exact uncapped schedule",
-                    flush=True,
+                # a healthy default schedule (truncation_requires_progress)
+                # should never need this
+                _log.warning(
+                    "[compact] rescue: %d lane(s) exited infeasible under "
+                    "the truncated schedule; re-solving at the exact "
+                    "uncapped schedule", failed.size,
                 )
                 xs_b, us_b, ws_b, warm = st.inputs
                 sol = _run_rescue(
-                    sol, failed, xs_b, us_b, ws_b, warm, dev=st.dev
+                    sol, failed, xs_b, us_b, ws_b, warm, dev=st.dev,
+                    parts_r=rescue_parts, tag="rescue",
+                )
+        if rescue_strong_opts is not None:
+            failed = _failed(sol)
+            if failed.size:
+                if not rescue_strong_parts_box:
+                    rescue_strong_parts_box.append(make_sl_parts(
+                        spec, rescue_strong_opts, interpret=interpret,
+                        dual_warm_start=dual_warm_start,
+                    ))
+                _log.warning(
+                    "[compact] strong rescue: %d lane(s) infeasible/NaN "
+                    "even uncapped; re-solving at escalated initial "
+                    "regularization (%g)", failed.size,
+                    rescue_strong_opts.regularization_initial,
+                )
+                xs_b, us_b, ws_b, warm = st.inputs
+                sol = _run_rescue(
+                    sol, failed, xs_b, us_b, ws_b, warm, dev=st.dev,
+                    parts_r=rescue_strong_parts_box[0], tag="rescue_strong",
+                    opts_r=rescue_strong_opts,
                 )
         return sol
 

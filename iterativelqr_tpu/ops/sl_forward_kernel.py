@@ -103,6 +103,66 @@ def _reroll_fits_vmem(T, nx, nu, nc, chunk, npar, sub=BLOCK_B // 128):
     return in_bytes + out_bytes < _VMEM_BUDGET
 
 
+def _dot_mulsum(a, b, dimension_numbers):
+    """General ``dot_general`` as broadcast-multiply-reduce.  User functions
+    routinely contain ``jnp.dot``/``@`` (e.g. quadratic costs x @ Q @ x);
+    once map2-vmapped over the tile axes those become batched dot_generals
+    whose Mosaic lowering rejects the dimension numbers ("expected integer
+    value" on #tpu.dot_dimension_numbers) — and per docs/design.md §4 tiny
+    matmuls should be mul/reduce on TPU anyway (ops/linalg_small.py)."""
+    (lc, rc), (lb, rb) = dimension_numbers
+    lc, rc, lb, rb = map(tuple, (lc, rc, lb, rb))
+    afree = tuple(d for d in range(a.ndim) if d not in lc + lb)
+    bfree = tuple(d for d in range(b.ndim) if d not in rc + rb)
+    at = jnp.transpose(a, lb + afree + lc)
+    bt = jnp.transpose(b, rb + bfree + rc)
+    nb, na, nbf, ncon = len(lb), len(afree), len(bfree), len(lc)
+    at = at.reshape(at.shape[: nb + na] + (1,) * nbf + at.shape[nb + na :])
+    bt = bt.reshape(bt.shape[:nb] + (1,) * na + bt.shape[nb:])
+    prod = at * bt
+    if ncon == 0:
+        return prod
+    return jnp.sum(prod, axis=tuple(range(prod.ndim - ncon, prod.ndim)))
+
+
+def _eval_jaxpr_no_dot(jaxpr, consts, *args):
+    """eval_jaxpr that rewrites every dot_general to ``_dot_mulsum``,
+    recursing through pjit/closed_call/custom_jvp sub-jaxprs.  Control-flow
+    primitives are bound as-is (per-step user functions are straight-line
+    code; a dot inside lax.cond/scan would surface as the same Mosaic
+    parse error at compile time, not silent wrong answers)."""
+    from jax import lax
+    from jax.extend.core import Literal
+
+    env = {}
+
+    def read(a):
+        return a.val if isinstance(a, Literal) else env[a]
+
+    for v, c in zip(jaxpr.constvars, consts):
+        env[v] = c
+    for v, a in zip(jaxpr.invars, args):
+        env[v] = a
+    for eqn in jaxpr.eqns:
+        invals = [read(a) for a in eqn.invars]
+        sub = eqn.params.get("jaxpr") or eqn.params.get("call_jaxpr")
+        if eqn.primitive is lax.dot_general_p:
+            outs = [_dot_mulsum(
+                invals[0], invals[1], eqn.params["dimension_numbers"]
+            )]
+        elif sub is not None and hasattr(sub, "jaxpr"):  # ClosedJaxpr
+            outs = _eval_jaxpr_no_dot(sub.jaxpr, sub.consts, *invals)
+        elif sub is not None and hasattr(sub, "eqns"):   # raw Jaxpr
+            outs = _eval_jaxpr_no_dot(sub, (), *invals)
+        else:
+            outs = eqn.primitive.bind(*invals, **eqn.params)
+            if not eqn.primitive.multiple_results:
+                outs = [outs]
+        for v, o in zip(eqn.outvars, outs):
+            env[v] = o
+    return [read(v) for v in jaxpr.outvars]
+
+
 class _Fns:
     """Closure-converted, map2-vmapped stage functions + their hoisted
     constants (concrete arrays), built once per dtype."""
@@ -126,7 +186,7 @@ class _Fns:
             consts = tuple(jnp.asarray(c) for c in closed.consts)
 
             def pure(x, u, w, *cs):
-                out = jax.core.eval_jaxpr(jaxpr, list(cs), x, u, w)
+                out = _eval_jaxpr_no_dot(jaxpr, list(cs), x, u, w)
                 return out[0]
 
             return _map2(pure), consts

@@ -90,3 +90,23 @@ def test_two_process_distributed_solve(tmp_path):
     np.testing.assert_allclose(
         np.asarray(sol.xs), d0["xs"], rtol=0, atol=1e-12
     )
+
+    # production route (SL solver under shard_map): both processes agree,
+    # everything solved, and the result equals a single-process SL solve of
+    # the same batch (different lane padding grouping — per-lane math is
+    # independent, so agreement is near-exact)
+    np.testing.assert_array_equal(d0["sl_xs"], d1["sl_xs"])
+    assert float(d0["sl_solved_fraction"]) == 1.0
+    sol_sl = make_batched_solve_fn(
+        spec,
+        Options(verbose=False, record_traces=False,
+                batched_solver="sl", backward_pass="packed"),
+        interpret=True,
+    )(xs, us, ws)
+    np.testing.assert_allclose(
+        np.asarray(sol_sl.xs), d0["sl_xs"], rtol=1e-10, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol_sl.max_violation), d0["sl_max_violation"],
+        rtol=1e-10, atol=1e-10,
+    )

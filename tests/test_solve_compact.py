@@ -81,9 +81,9 @@ def test_compacted_matches_single_shot_with_repack():
     # (so B_next = 1024 <= B/2) while some lanes keep iterating past it
     assert float((it > 18).mean()) < 0.5
     assert int(it.max()) > 18
-    out = make_compacted_solve_fn(spec, opts, chunk=6, interpret=True)(
-        xs, us, ws
-    )
+    out = make_compacted_solve_fn(
+        spec, opts, chunk=6, interpret=True, rescue=False
+    )(xs, us, ws)
     _assert_solutions_equal(out, ref)
 
 
@@ -93,9 +93,9 @@ def test_compacted_matches_single_shot_no_repack():
     spec, xs, us, ws = _spread_batch(T, B)
     opts = Options(batched_solver="sl", **_BASE)
     ref = make_batched_solve_fn(spec, opts, interpret=True)(xs, us, ws)
-    out = make_compacted_solve_fn(spec, opts, chunk=4, interpret=True)(
-        xs, us, ws
-    )
+    out = make_compacted_solve_fn(
+        spec, opts, chunk=4, interpret=True, rescue=False
+    )(xs, us, ws)
     _assert_solutions_equal(out, ref)
 
 
@@ -126,7 +126,8 @@ def test_compacted_dual_warm_start():
         spec, opts, interpret=True, dual_warm_start=True
     )(xs, us, ws, cold.duals, cold.penalty)
     out = make_compacted_solve_fn(
-        spec, opts, chunk=4, interpret=True, dual_warm_start=True
+        spec, opts, chunk=4, interpret=True, dual_warm_start=True,
+        rescue=False,
     )(xs, us, ws, cold.duals, cold.penalty)
     _assert_solutions_equal(out, ref)
 
@@ -210,3 +211,82 @@ def test_compacted_multi_device_matches_single():
         spec, opts, chunk=6, interpret=True, devices=devs
     )(xs, us, ws)
     _assert_solutions_equal(out, ref)
+
+
+def test_generalized_rescue_resolves_uncapped_failures():
+    """VERDICT r3 #6: lanes that exit infeasible under ANY schedule (no
+    early_round_iteration_cap involved) get one grain-sized re-solve under
+    ``rescue_options`` and their Solution rows patched.  Scenario: a
+    deliberately tight iteration budget leaves 11/16 lanes infeasible; the
+    rescue schedule (full budget + the default escalated
+    regularization_initial=1e-3) solves every one of them — including lane
+    11, which NO unregularized budget fixes (measured stuck at violation
+    0.344 even at 100x10 iterations: the conditioning-divergence signature
+    the strong rescue's reg floor is designed for)."""
+    import dataclasses as _dc
+
+    T, B = 8, 16
+    spec, xs, us, ws = _spread_batch(T, B)
+    opts = Options(
+        record_traces=False, backward_pass="packed", batched_solver="sl",
+        max_iterations=4, max_dual_updates=2,
+    )
+    tol = opts.constraint_tolerance
+    bare = make_compacted_solve_fn(
+        spec, opts, chunk=8, interpret=True, rescue=False
+    )(xs, us, ws)
+    failed = np.flatnonzero(
+        ~(np.asarray(bare.max_violation) <= tol)
+    )
+    assert failed.size >= 1, "scenario no longer produces a failed lane"
+
+    ropts = _dc.replace(opts, max_iterations=30, max_dual_updates=10,
+                        regularization_initial=1e-3)
+    out = make_compacted_solve_fn(
+        spec, opts, chunk=8, interpret=True, rescue=True,
+        rescue_options=ropts,
+    )(xs, us, ws)
+    v = np.asarray(out.max_violation)
+    assert bool((v <= tol).all()), f"rescue left lanes infeasible: {v.max()}"
+
+    # rescued rows are exactly the rescue-schedule solver's results from the
+    # ORIGINAL inputs; untouched rows are exactly the bare driver's
+    ref = make_batched_solve_fn(spec, ropts, interpret=True)(xs, us, ws)
+    ok = np.setdiff1d(np.arange(B), failed)
+    for name in ("xs", "us", "objective", "max_violation", "iterations",
+                 "duals", "penalty"):
+        a = np.asarray(getattr(out, name))
+        np.testing.assert_array_equal(
+            a[failed], np.asarray(getattr(ref, name))[failed],
+            err_msg=f"{name} (rescued rows)",
+        )
+        np.testing.assert_array_equal(
+            a[ok], np.asarray(getattr(bare, name))[ok],
+            err_msg=f"{name} (untouched rows)",
+        )
+
+
+def test_rescue_detects_nan_lanes(caplog):
+    """A manufactured genuinely-diverging lane (f32 overflow at init -> NaN
+    violation) must be DETECTED as failed (NaN > tol is False — the
+    detection uses ~(viol <= tol)) and re-solved; an unsolvable lane stays
+    NaN (honest accounting), everything else stays solved."""
+    import logging
+
+    T, B = 8, 16
+    spec, xs, us, ws = _spread_batch(T, B)
+    opts = Options(
+        record_traces=False, backward_pass="packed", batched_solver="sl",
+        max_iterations=10, max_dual_updates=4,
+    )
+    xs = xs.at[3].set(xs[3] * jnp.float32(1e25))  # overflow -> NaN lane
+    with caplog.at_level(logging.WARNING,
+                         logger="iterativelqr_tpu.core.solve_compact"):
+        out = make_compacted_solve_fn(
+            spec, opts, chunk=8, interpret=True, rescue=True
+        )(xs, us, ws)
+    assert any("strong rescue" in r.message for r in caplog.records), (
+        "NaN lane did not trigger the strong rescue"
+    )
+    v = np.asarray(out.max_violation)
+    assert np.isnan(v[3]) or v[3] > opts.constraint_tolerance
