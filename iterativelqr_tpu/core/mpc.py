@@ -51,6 +51,7 @@ def make_mpc_controller(
     shift_fill: str = "repeat",  # "repeat" last action | "zero"
     step_objective_tolerance: Optional[float] = 1.0e-4,
     max_step_iterations: Optional[int] = None,
+    constraint_aware: bool = True,
 ):
     """Build ``init(xs, us, ws) -> MPCState`` and
     ``step(state, x_measured, ws) -> MPCStep`` (both pure/jittable).
@@ -81,7 +82,20 @@ def make_mpc_controller(
       each truncated round still fired its mid-convergence dual ascent and
       acrobot MPC compounded to violation 3e7 while running slower.)  The
       budget bounds worst-case latency at some transient-quality cost.
+    * ``constraint_aware`` (default True): step re-solves use the
+      constraint-aware line-search acceptance
+      (``options.constraint_aware_acceptance``) — among Armijo-accepted
+      candidates, prefer the largest step that does not worsen the max
+      violation.  Measured on the budget-8 acrobot harness
+      (tests/test_mpc.py scenario): the cold transient settles at step 6
+      with NO feasibility re-excursions (plain Armijo re-excurses to
+      violation 0.039 through step 12), same steady envelope.  Pass False
+      for the raw Armijo acceptance.
     """
+    if constraint_aware:
+        options = dataclasses.replace(
+            options, constraint_aware_acceptance=True
+        )
     if step_objective_tolerance is not None:
         options = dataclasses.replace(
             options, objective_tolerance=step_objective_tolerance

@@ -181,6 +181,20 @@ class Options:
     # "scan": always the XLA lax.scan path.
     forward_kernel: str = "auto"
 
+    # --- new: constraint-aware line-search acceptance (MPC transients) ---
+    # Among the Armijo-accepted candidates, prefer the largest step that
+    # does not WORSEN the max constraint violation (beyond the tolerance);
+    # fall back to the plain Armijo winner when no accepted candidate
+    # qualifies, so convergence behavior is preserved.  Motivation: a
+    # budget-truncated MPC step can accept a long step that trades
+    # feasibility for cost mid-ascent, producing transient violation
+    # spikes (README MPC table, budget 8: worst transient 0.019); the
+    # violation filter suppresses exactly those acceptances.  The
+    # per-candidate violation is accumulated in the scoring scan's carry
+    # (no extra rollouts).  Implemented on the per-instance path (what MPC
+    # uses); the SL batched solver rejects it.
+    constraint_aware_acceptance: bool = False
+
     # --- new: batched-solver implementation selector ---
     # "auto": on TPU with backward_pass="packed", no traces/live_progress and
     #         the fused AL loop, batched solves run the SL-layout solver

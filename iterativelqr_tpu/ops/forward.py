@@ -105,19 +105,38 @@ def line_search(
     # measured to REGRESS this path: single-instance TPU solve latency rose
     # 22% on acrobot T=51 and 5x on car T=51, the cond splitting the scoring
     # into separately-scheduled scans; the one-shot grid stays.)
+    viol_filter = options.constraint_aware_acceptance and spec.nc > 0
+
     def score_alpha(alpha):
-        _, _, J, _ = rollout_with_al_cost(
+        out = rollout_with_al_cost(
             spec, xbar, ubar, ws, K, k, alpha, duals, penalty,
             unroll=options.scan_unroll, cost_only=True,
+            with_viol=viol_filter,
         )
-        return J
-
-    J_c = jax.vmap(score_alpha)(alphas)
+        return (out[2], out[4]) if viol_filter else out[2]
 
     c1 = jnp.asarray(options.armijo_c1, xbar.dtype)
+    if viol_filter:
+        J_c, viol_c = jax.vmap(score_alpha)(alphas)
+    else:
+        J_c = jax.vmap(score_alpha)(alphas)
+
     accept = (J_c <= J_prev + c1 * alphas * slope) & jnp.isfinite(J_c)
     status = jnp.any(accept)
     idx = jnp.argmax(accept)  # first (largest-alpha) accepted candidate
+    if viol_filter:
+        # constraint-aware acceptance (options.py): among the accepted
+        # candidates prefer the largest step that does not worsen the max
+        # violation (beyond the tolerance); fall back to the plain Armijo
+        # winner when none qualifies, preserving convergence behavior
+        from . import al as al_ops
+
+        ineq = jnp.asarray(spec.ineq_mask)
+        cmask = jnp.asarray(spec.c_mask)
+        viol_prev = al_ops.max_violation(c_prev, ineq, cmask)
+        tol = jnp.asarray(options.constraint_tolerance, xbar.dtype)
+        preferred = accept & (viol_c <= jnp.maximum(viol_prev, tol))
+        idx = jnp.where(jnp.any(preferred), jnp.argmax(preferred), idx)
 
     # re-roll ONLY the winning candidate; its trajectory AND constraint
     # values come out of the same scan (no separate constraint pass)

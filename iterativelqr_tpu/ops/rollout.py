@@ -52,7 +52,7 @@ def closed_loop_rollout(
 
 def rollout_with_al_cost(
     spec: ProblemSpec, xbar, ubar, ws, K, k, alpha, duals, penalty, unroll=1,
-    cost_only: bool = False,
+    cost_only: bool = False, with_viol: bool = False,
 ):
     """Closed-loop rollout with the AL objective accumulated inside the scan.
 
@@ -68,6 +68,12 @@ def rollout_with_al_cost(
     search re-rolls the single winning candidate afterwards (ops/forward.py).
     Otherwise returns (xs, us, J, c [T, nc]) with the constraint values
     emitted from the same in-scan evaluations that built the AL objective.
+
+    With ``with_viol`` a fifth return is appended: the trajectory's max
+    constraint violation (Inf-norm, eq/ineq rule of ops/al.py
+    ``max_violation``), accumulated in the scan carry — this is what the
+    constraint-aware line-search acceptance scores candidates with
+    (options.py ``constraint_aware_acceptance``), at no extra rollout.
     """
     from . import al as al_ops
 
@@ -79,16 +85,25 @@ def rollout_with_al_cost(
     multi_c = len(con_branches) > 1
     nc = spec.nc
     ineq = jnp.asarray(spec.ineq_mask)
+    cmask = jnp.asarray(spec.c_mask)
     dtype = xbar.dtype
+    track_viol = with_viol and nc > 0
 
     def al_term(c_t, lam_t, rho_t, ineq_t):
         inactive = ineq_t & (c_t < 0.0) & (lam_t == 0.0)
         a = jnp.where(inactive, 0.0, 1.0).astype(c_t.dtype)
         return jnp.sum(lam_t * c_t) + 0.5 * jnp.sum(a * rho_t * c_t * c_t)
 
+    def viol_of(c_t, ineq_t, cm_t):
+        v = jnp.where(ineq_t, jnp.maximum(c_t, 0.0), jnp.abs(c_t))
+        return jnp.max(jnp.where(cm_t, v, 0.0))
+
     def step(carry, inp):
-        x, J = carry
-        (td, tg, tc, xb, ub, w, K_t, k_t, lam_t, rho_t, ineq_t) = inp
+        if track_viol:
+            x, J, viol = carry
+        else:
+            x, J = carry
+        (td, tg, tc, xb, ub, w, K_t, k_t, lam_t, rho_t, ineq_t, cm_t) = inp
         u = ub + linalg_small.matvec(K_t, x - xb) + alpha * k_t
         g = (
             jax.lax.switch(tg, cost_branches, x, u, w)
@@ -104,6 +119,8 @@ def rollout_with_al_cost(
                 else con_branches[0](x, u, w)
             )
             J = J + al_term(c_t, lam_t, rho_t, ineq_t)
+            if track_viol:
+                viol = jnp.maximum(viol, viol_of(c_t, ineq_t, cm_t))
         xn = (
             jax.lax.switch(td, dyn_branches, x, u, w)
             if multi_d
@@ -118,7 +135,8 @@ def rollout_with_al_cost(
             ys = (x, u, c_t)
         else:
             ys = (x, u)
-        return (xn, J), ys
+        carry_out = (xn, J, viol) if track_viol else (xn, J)
+        return carry_out, ys
 
     T = spec.T
     td = jnp.asarray(spec.dyn_tidx)
@@ -126,11 +144,16 @@ def rollout_with_al_cost(
     tc = jnp.asarray(spec.con_tidx[: T - 1])
     inputs = (
         td, tg, tc, xbar[:-1], ubar, ws[:-1], K, k,
-        duals[:-1], penalty[:-1], ineq[:-1],
+        duals[:-1], penalty[:-1], ineq[:-1], cmask[:-1],
     )
-    (x_last, J), ys = jax.lax.scan(
-        step, (xbar[0], jnp.zeros((), dtype)), inputs, unroll=unroll
-    )
+    carry0 = (xbar[0], jnp.zeros((), dtype))
+    if track_viol:
+        carry0 = carry0 + (jnp.zeros((), dtype),)
+    carry_end, ys = jax.lax.scan(step, carry0, inputs, unroll=unroll)
+    if track_viol:
+        x_last, J, viol = carry_end
+    else:
+        x_last, J = carry_end
     c_head = None
     if cost_only:
         xs = us = None
@@ -150,10 +173,16 @@ def rollout_with_al_cost(
     if nc > 0:
         cT = spec.con_eval[spec.con_tidx[-1]](x_last, u0, ws[-1])
         J = J + al_term(cT, duals[-1], penalty[-1], ineq[-1])
+        if track_viol:
+            viol = jnp.maximum(viol, viol_of(cT, ineq[-1], cmask[-1]))
         if not cost_only:
             c = jnp.concatenate([c_head, cT[None]], axis=0)
     elif not cost_only:
         c = jnp.zeros((T, 0), dtype)
+    if with_viol:
+        if nc == 0:
+            viol = jnp.zeros((), dtype)
+        return xs, us, J, c, viol
     return xs, us, J, c
 
 

@@ -164,19 +164,17 @@ def test_mpc_budget_transient_envelope():
         )
     tol = Options().constraint_tolerance
     # the cold plan needs ~68 inner iterations; at 8/step the budget settles
-    # it over the first several steps.  The scan backward settles by step 9
-    # (measured decay 0.18 → 1e-3); the DEFAULT auto path (associative
-    # backward at B=1 — the measured latency winner, ops/backward.py
-    # _assoc_wins) has slightly different f32 iterates whose cold transient
-    # re-excursions last through step 12 before settling at the SAME steady
-    # envelope (measured: 0.0388 peak at step 11, ≤5e-3 from step 13 on).
-    # The envelope under test is the STEADY state's response to per-step
-    # disturbances; the settle itself is pinned by the window start below.
-    steady = viols[13:]
+    # it over the first ~6 steps.  With the constraint-aware acceptance
+    # (make_mpc_controller default) the settled controller has NO
+    # feasibility re-excursions (measured: every step ≤ tol from step 6 on;
+    # plain Armijo re-excursed to violation 0.039 through step 12 under the
+    # auto/associative backward's f32 iterates).  Window starts at 7 for a
+    # step of margin; the bounds below pin the filtered envelope.
+    steady = viols[7:]
     assert len(steady) >= 10
-    assert max(steady) <= 5.0e-2, f"worst transient {max(steady):.3e}"
+    assert max(steady) <= 1.0e-2, f"worst transient {max(steady):.3e}"
     run = worst_run = 0
     for v in steady:
         run = run + 1 if v > tol else 0
         worst_run = max(worst_run, run)
-    assert worst_run <= 3, f"infeasible for {worst_run} consecutive steps"
+    assert worst_run <= 2, f"infeasible for {worst_run} consecutive steps"
