@@ -12,7 +12,15 @@ single-core NumPy implementation of the same algorithm
 honest stand-in for the reference's single-threaded CPU execution model.  The
 baseline is measured once and cached in benchmarks/baseline_local.json.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+A default (no-flag) run measures BOTH presets — "tuned" (hot AL schedule +
+9-alpha grid) and "parity" (the library defaults, i.e. ``Options()``) — so
+every driver capture carries a same-code-hash parity number (round-3 verdict
+item 7).  Per-preset records are written to benchmarks/BENCH_tuned.json and
+benchmarks/BENCH_parity.json.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...} —
+the headline value is the tuned preset; parity rides along as
+``parity_value`` / ``parity_solved_fraction``.
 """
 
 import argparse
@@ -101,89 +109,37 @@ def measure_baseline(T, cache_path):
     return data["solves_per_sec"], data
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=4096)
-    ap.add_argument("--horizon", type=int, default=101)
-    ap.add_argument("--reps", type=int, default=3)
-    ap.add_argument("--quick", action="store_true", help="small batch smoke run")
-    ap.add_argument(
-        "--no-compact", action="store_true",
-        help="disable straggler compaction (single monolithic while-loop "
-        "program; wall clock then rides the iteration-count tail)",
-    )
-    ap.add_argument(
-        "--chunk", type=int, default=32,
-        help="iterations per dispatch for the compaction driver",
-    )
-    ap.add_argument(
-        "--early-cap", type=int, default=None,
-        help="override Options.early_round_iteration_cap (schedule experiments)",
-    )
-    ap.add_argument(
-        "--mct", type=int, default=None,
-        help="override Options.max_consecutive_truncations (schedule "
-        "experiments; large values = pure truncation, safe only with the "
-        "compaction driver's rescue pass)",
-    )
-    ap.add_argument(
-        "--preset", choices=["tuned", "parity"], default="tuned",
-        help="tuned: hot-start AL penalty schedule + 9-alpha grid + pallas "
-        "backward on TPU (same tolerances, fewer iterations, solved_fraction "
-        "checked); parity: the default options — reference tolerances and "
-        "knobs with the stall-gated adaptive AL schedule (adaptive_penalty)",
-    )
-    args = ap.parse_args()
-    if args.quick:
-        args.batch, args.reps = 64, 1
+def code_tag():
+    """Hash of the package files that determine the benched program, so a
+    code change can never silently serve a stale pre-lowered program (and
+    the committed bench artifacts are auditable against HEAD)."""
+    import glob
+    import hashlib
 
-    platform = acquire_backend()
-    if platform is None:
-        # One parseable line, fast — never a 20-minute hang + traceback
-        # (round-2 bench was lost to exactly that; VERDICT.md item 1).
-        print(
-            json.dumps(
-                {
-                    "metric": f"acrobot_T{args.horizon}_al_ilqr_solves_per_sec_per_chip",
-                    "value": None,
-                    "unit": "solves/s/chip",
-                    "error": "backend_unavailable",
-                    "detail": "jax.devices() probe failed after bounded retries "
-                    "(tunneled TPU backend down); see stderr for attempts",
-                }
-            ),
-            flush=True,
-        )
-        sys.exit(1)
+    pkg = os.path.join(os.path.dirname(__file__), "iterativelqr_tpu")
+    h = hashlib.sha256()
+    roots = [
+        os.path.join(pkg, "core"),
+        os.path.join(pkg, "ops"),
+        os.path.join(pkg, "parallel"),
+        os.path.join(pkg, "models", "acrobot.py"),
+    ]
+    files = []
+    for r in roots:
+        if r.endswith(".py"):
+            files.append(r)
+        else:
+            files.extend(glob.glob(os.path.join(r, "**", "*.py"), recursive=True))
+    for f in sorted(files):
+        with open(f, "rb") as fh:
+            h.update(fh.read())
+    return h.hexdigest()[:10]
 
-    import jax
-    import jax.numpy as jnp
 
-    # persistent compile cache: the solve program is large
-    from iterativelqr_tpu.utils.compile_cache import setup_compile_cache
-
-    setup_compile_cache(platform)
-
+def preset_options(preset, args):
     from iterativelqr_tpu import Options
-    from iterativelqr_tpu.core.spec import build_spec
-    from iterativelqr_tpu.models import acrobot
-    from iterativelqr_tpu.parallel import (
-        batch_stats,
-        default_mesh,
-        make_batched_solve_fn,
-        make_sharded_solve_fn,
-        shard_batch,
-    )
-    from iterativelqr_tpu.utils.program_cache import cached_program
 
-    T, B = args.horizon, args.batch
-    devices = jax.devices()
-    n_chips = len(devices)
-    mesh = default_mesh(devices)
-
-    dynamics, objective, constraints, x1, xT = acrobot.problem(T)
-    spec = build_spec(dynamics, objective, constraints)
-    if args.preset == "tuned":
+    if preset == "tuned":
         # same tolerances/semantics as the reference defaults; hotter initial
         # penalty halves AL rounds (measured: inner iters 119 -> 61, all
         # instances still solve to 5e-3), pallas backward kernel on TPU
@@ -210,6 +166,34 @@ def main():
         if args.mct is not None:
             overrides["max_consecutive_truncations"] = args.mct
         opts = dataclasses.replace(opts, **overrides)
+    return opts
+
+
+def run_preset(args, preset, ctag):
+    """Build, warm, integrity-check, and time one preset.  Returns the
+    record dict (metric/value/... fields, baseline ratio added by main)."""
+    import jax
+    import jax.numpy as jnp
+
+    from iterativelqr_tpu.core.spec import build_spec
+    from iterativelqr_tpu.models import acrobot
+    from iterativelqr_tpu.parallel import (
+        batch_stats,
+        default_mesh,
+        make_batched_solve_fn,
+        make_sharded_solve_fn,
+        shard_batch,
+    )
+    from iterativelqr_tpu.utils.program_cache import cached_program
+
+    T, B = args.horizon, args.batch
+    devices = jax.devices()
+    n_chips = len(devices)
+    mesh = default_mesh(devices)
+
+    dynamics, objective, constraints, x1, xT = acrobot.problem(T)
+    spec = build_spec(dynamics, objective, constraints)
+    opts = preset_options(preset, args)
 
     dtype = jnp.float32
     key = jax.random.PRNGKey(0)
@@ -227,6 +211,8 @@ def main():
     us = 0.05 * jnp.ones((B, T - 1, spec.nu), dtype)
     ws = jnp.zeros((B, T, max(spec.npar, 0)), dtype)
 
+    cache_dir = os.path.join(os.path.dirname(__file__), "benchmarks", "cache")
+
     if n_chips == 1:
         # single chip: plain jitted batch, served from the on-repo program
         # cache so the tunneled-backend lowering tax (~minutes) is paid once
@@ -239,39 +225,13 @@ def main():
 
             return fn
 
-        # key includes a hash of the package source so a code change can never
-        # silently serve a stale pre-lowered program
         import hashlib
-        import glob
-
-        # hash only the files that determine the benched program, so adding an
-        # unrelated model or utility does not invalidate the artifact
-        pkg = os.path.join(os.path.dirname(__file__), "iterativelqr_tpu")
-        h = hashlib.sha256()
-        roots = [
-            os.path.join(pkg, "core"),
-            os.path.join(pkg, "ops"),
-            os.path.join(pkg, "parallel"),
-            os.path.join(pkg, "models", "acrobot.py"),
-        ]
-        files = []
-        for r in roots:
-            if r.endswith(".py"):
-                files.append(r)
-            else:
-                files.extend(glob.glob(os.path.join(r, "**", "*.py"), recursive=True))
-        for f in sorted(files):
-            with open(f, "rb") as fh:
-                h.update(fh.read())
-        code_tag = h.hexdigest()[:10]
 
         # options fingerprint: bench.py itself is outside the code hash, so a
         # preset/flag change must invalidate the artifact through the key
         opt_tag = hashlib.sha256(repr(opts).encode()).hexdigest()[:6]
-
-        cache_dir = os.path.join(os.path.dirname(__file__), "benchmarks", "cache")
         cache_key = (
-            f"bench_acrobot_T{T}_B{B}_f32_{args.preset}_{opt_tag}_{code_tag}"
+            f"bench_acrobot_T{T}_B{B}_f32_{preset}_{opt_tag}_{ctag}"
         )
         use_compact = (
             not args.no_compact
@@ -390,26 +350,119 @@ def main():
     solved_fraction = float(stats.solved_fraction)
     solves_per_sec_per_chip = B * solved_fraction / dt / n_chips
 
-    cache = os.path.join(os.path.dirname(__file__), "benchmarks", "baseline_local.json")
-    baseline_sps, _ = measure_baseline(T, cache)
+    return {
+        "metric": f"acrobot_T{T}_al_ilqr_solves_per_sec_per_chip",
+        "value": round(solves_per_sec_per_chip, 3),
+        "unit": "solves/s/chip",
+        "preset": preset,
+        "batch": B,
+        "chips": n_chips,
+        "solved_fraction": round(solved_fraction, 4),
+        "wall_clock_s": round(dt, 4),
+        "mean_iterations": round(float(jnp.mean(sol.iterations)), 1),
+        "max_iterations": int(jnp.max(sol.iterations)),
+        "backend": devices[0].platform,
+        "code_tag": ctag,
+    }
 
-    print(
-        json.dumps(
-            {
-                "metric": f"acrobot_T{T}_al_ilqr_solves_per_sec_per_chip",
-                "value": round(solves_per_sec_per_chip, 3),
-                "unit": "solves/s/chip",
-                "vs_baseline": round(solves_per_sec_per_chip / baseline_sps, 2),
-                "batch": B,
-                "chips": n_chips,
-                "solved_fraction": round(solved_fraction, 4),
-                "wall_clock_s": round(dt, 4),
-                "mean_iterations": round(float(jnp.mean(sol.iterations)), 1),
-                "max_iterations": int(jnp.max(sol.iterations)),
-                "backend": devices[0].platform,
-            }
-        )
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--horizon", type=int, default=101)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--quick", action="store_true", help="small batch smoke run")
+    ap.add_argument(
+        "--no-compact", action="store_true",
+        help="disable straggler compaction (single monolithic while-loop "
+        "program; wall clock then rides the iteration-count tail)",
     )
+    ap.add_argument(
+        "--chunk", type=int, default=32,
+        help="iterations per dispatch for the compaction driver",
+    )
+    ap.add_argument(
+        "--early-cap", type=int, default=None,
+        help="override Options.early_round_iteration_cap (schedule experiments)",
+    )
+    ap.add_argument(
+        "--mct", type=int, default=None,
+        help="override Options.max_consecutive_truncations (schedule "
+        "experiments; large values = pure truncation, safe only with the "
+        "compaction driver's rescue pass)",
+    )
+    ap.add_argument(
+        "--preset", choices=["tuned", "parity", "both"], default=None,
+        help="tuned: hot-start AL penalty schedule + 9-alpha grid + pallas "
+        "backward on TPU (same tolerances, fewer iterations, solved_fraction "
+        "checked); parity: the default options — reference tolerances and "
+        "knobs with the stall-gated adaptive AL schedule (adaptive_penalty); "
+        "both (the default unless --quick): tuned headline + parity fields "
+        "in the same JSON line, per-preset records written to benchmarks/",
+    )
+    args = ap.parse_args()
+    if args.preset is None:
+        args.preset = "tuned" if args.quick else "both"
+    if args.quick:
+        args.batch, args.reps = 64, 1
+
+    platform = acquire_backend()
+    if platform is None:
+        # One parseable line, fast — never a 20-minute hang + traceback
+        # (round-2 bench was lost to exactly that; VERDICT.md item 1).
+        print(
+            json.dumps(
+                {
+                    "metric": f"acrobot_T{args.horizon}_al_ilqr_solves_per_sec_per_chip",
+                    "value": None,
+                    "unit": "solves/s/chip",
+                    "error": "backend_unavailable",
+                    "detail": "jax.devices() probe failed after bounded retries "
+                    "(tunneled TPU backend down); see stderr for attempts",
+                }
+            ),
+            flush=True,
+        )
+        sys.exit(1)
+
+    # persistent compile cache: the solve program is large
+    from iterativelqr_tpu.utils.compile_cache import setup_compile_cache
+
+    setup_compile_cache(platform)
+
+    ctag = code_tag()
+    presets = ["tuned", "parity"] if args.preset == "both" else [args.preset]
+    records = {p: run_preset(args, p, ctag) for p in presets}
+
+    cache = os.path.join(os.path.dirname(__file__), "benchmarks", "baseline_local.json")
+    baseline_sps, _ = measure_baseline(args.horizon, cache)
+    for rec in records.values():
+        rec["vs_baseline"] = round(rec["value"] / baseline_sps, 2)
+
+    # per-preset artifacts: committed so every round's parity number is
+    # driver-verified at the same code hash as the headline (verdict item 7)
+    if not args.quick:
+        for p, rec in records.items():
+            path = os.path.join(
+                os.path.dirname(__file__), "benchmarks", f"BENCH_{p}.json"
+            )
+            with open(path, "w") as f:
+                json.dump(rec, f)
+                f.write("\n")
+
+    headline = records[presets[0]]
+    out = dict(headline)
+    if "parity" in records and presets[0] != "parity":
+        out["parity_value"] = records["parity"]["value"]
+        out["parity_solved_fraction"] = records["parity"]["solved_fraction"]
+        out["parity_wall_clock_s"] = records["parity"]["wall_clock_s"]
+    # field order: metric/value/unit/vs_baseline first (driver contract)
+    ordered = {
+        k: out[k]
+        for k in ("metric", "value", "unit", "vs_baseline")
+    }
+    ordered.update({k: v for k, v in out.items() if k not in ordered})
+    print(json.dumps(ordered))
 
 
 if __name__ == "__main__":

@@ -103,7 +103,15 @@ def cached_program(
         print(f"[program_cache] miss: lowering for key {key!r}")
     fn = make_fn()
     jitted = fn if isinstance(fn, jax.stages.Wrapped) else jax.jit(fn)
-    exp = jexport.export(jitted)(*example_args)
+    # Lower with an EXPLICIT platform target: export() then never consults
+    # the backend, so the whole lowering runs locally even when the default
+    # backend is the tunneled TPU (where backend-bound lowering pays one
+    # tunnel round trip per query — measured ~15 min/program vs ~6 s local
+    # for the same batched-solve program).  The axon plugin reports its
+    # devices as platform "tpu", which is exactly the lowering target name.
+    exp = jexport.export(jitted, platforms=[jax.default_backend()])(
+        *example_args
+    )
     path.parent.mkdir(parents=True, exist_ok=True)
     tmp = path.with_suffix(".tmp")
     tmp.write_bytes(exp.serialize())
