@@ -157,7 +157,8 @@ def preset_options(preset, args):
         # (parallel/batch.py::_sl_eligible) and the scan/assoc regime rule
         # elsewhere — no hand-set performance knobs
         opts = Options(verbose=False, record_traces=False)
-    if args.early_cap is not None or args.mct is not None:
+    fk = getattr(args, "fk", None)
+    if args.early_cap is not None or args.mct is not None or fk is not None:
         import dataclasses
 
         overrides = {}
@@ -165,6 +166,8 @@ def preset_options(preset, args):
             overrides["early_round_iteration_cap"] = args.early_cap
         if args.mct is not None:
             overrides["max_consecutive_truncations"] = args.mct
+        if fk is not None:
+            overrides["forward_kernel"] = fk
         opts = dataclasses.replace(opts, **overrides)
     return opts
 
@@ -392,6 +395,12 @@ def main():
         "compaction driver's rescue pass)",
     )
     ap.add_argument(
+        "--fk", choices=["auto", "scan", "pallas"], default=None,
+        help="override Options.forward_kernel (pallas line-search rollout "
+        "kernels vs the lax.scan path — end-to-end A/B, round-4 verdict "
+        "item 2)",
+    )
+    ap.add_argument(
         "--preset", choices=["tuned", "parity", "both"], default=None,
         help="tuned: hot-start AL penalty schedule + 9-alpha grid + pallas "
         "backward on TPU (same tolerances, fewer iterations, solved_fraction "
@@ -402,9 +411,30 @@ def main():
     )
     args = ap.parse_args()
     if args.preset is None:
-        args.preset = "tuned" if args.quick else "both"
+        # --quick defaults to parity so the smoke run hits the committed B64
+        # program-cache artifacts (parity is what gets committed for B64)
+        args.preset = "parity" if args.quick else "both"
     if args.quick:
         args.batch, args.reps = 64, 1
+
+    # canonical-config guard: only a default-config run may overwrite the
+    # committed benchmarks/BENCH_{preset}.json records; schedule/shape
+    # experiments are tagged with their overrides instead (ADVICE round-4)
+    overrides = {
+        k: v
+        for k, v in (
+            ("batch", args.batch if args.batch != 4096 else None),
+            ("horizon", args.horizon if args.horizon != 101 else None),
+            ("reps", args.reps if args.reps != 3 else None),
+            ("no_compact", True if args.no_compact else None),
+            ("chunk", args.chunk if args.chunk != 32 else None),
+            ("early_cap", args.early_cap),
+            ("mct", args.mct),
+            ("fk", args.fk),
+        )
+        if v is not None
+    }
+    canonical = not overrides and not args.quick
 
     platform = acquire_backend()
     if platform is None:
@@ -438,10 +468,14 @@ def main():
     baseline_sps, _ = measure_baseline(args.horizon, cache)
     for rec in records.values():
         rec["vs_baseline"] = round(rec["value"] / baseline_sps, 2)
+        if overrides:
+            rec["overrides"] = overrides
 
     # per-preset artifacts: committed so every round's parity number is
-    # driver-verified at the same code hash as the headline (verdict item 7)
-    if not args.quick:
+    # driver-verified at the same code hash as the headline (verdict item 7).
+    # ONLY a canonical (default-config) run may overwrite them — a schedule
+    # experiment must never masquerade as the committed record (ADVICE r4)
+    if canonical:
         for p, rec in records.items():
             path = os.path.join(
                 os.path.dirname(__file__), "benchmarks", f"BENCH_{p}.json"
@@ -449,6 +483,12 @@ def main():
             with open(path, "w") as f:
                 json.dump(rec, f)
                 f.write("\n")
+    elif not args.quick:
+        print(
+            f"[bench] non-canonical config {overrides}: committed "
+            "benchmarks/BENCH_*.json records NOT overwritten",
+            file=sys.stderr, flush=True,
+        )
 
     headline = records[presets[0]]
     out = dict(headline)

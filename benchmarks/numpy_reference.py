@@ -493,3 +493,175 @@ def car_problem(T: int = 51) -> Tuple[NpProblem, np.ndarray, np.ndarray]:
     ]
     prob = NpProblem(T, n, m, fd, fjac, cost, cost_derivs, con, cjac, ineq)
     return prob, np.zeros(n), xT
+
+
+def cartpole_problem(
+    T: int = 101, u_limit: float = 10.0, shaping_weight: float = 5.0
+) -> Tuple[NpProblem, np.ndarray, np.ndarray]:
+    """Cartpole swing-up, numpy twin of models/cartpole.py (control-limit
+    inequalities + wrapped terminal-angle equality)."""
+    mc, mp, length, g = 1.0, 0.2, 0.5, 9.81
+    h = 0.05
+    n, m = 4, 1
+    xT = np.array([0.0, np.pi, 0.0, 0.0])
+
+    def fc(x, u):
+        th, xd, thd = x[..., 1], x[..., 2], x[..., 3]
+        f = u[..., 0]
+        s, c = np.sin(th), np.cos(th)
+        total = mc + mp
+        tmp = (f + mp * length * thd**2 * s) / total
+        thdd = (g * s - c * tmp) / (length * (4.0 / 3.0 - mp * c**2 / total))
+        xdd = tmp - mp * length * thdd * c / total
+        return np.stack([xd, thd, xdd, thdd], axis=-1)
+
+    def fd(x, u):
+        return x + h * fc(x + 0.5 * h * fc(x, u), u)
+
+    fjac = complex_step_fjac(fd, n, m)
+
+    def cost(xs, us):
+        return float(
+            0.01 * (us**2).sum()
+            + 0.1 * (xs[:, 2:] ** 2).sum()
+            + shaping_weight * (1.0 + np.cos(xs[:-1, 1])).sum()
+            + 0.1 * (xs[:-1, 0] ** 2).sum()
+        )
+
+    def cost_derivs(xs, us):
+        T_ = xs.shape[0]
+        gx = np.zeros((T_, n))
+        gx[:, 2:] = 0.2 * xs[:, 2:]
+        gx[:-1, 1] = -shaping_weight * np.sin(xs[:-1, 1])
+        gx[:-1, 0] = 0.2 * xs[:-1, 0]
+        gu = 0.02 * us
+        gxx = np.zeros((T_, n, n))
+        gxx[:, 2, 2] = 0.2
+        gxx[:, 3, 3] = 0.2
+        gxx[:-1, 1, 1] = -shaping_weight * np.cos(xs[:-1, 1])
+        gxx[:-1, 0, 0] = 0.2
+        guu = np.broadcast_to(0.02 * np.eye(m), (T_ - 1, m, m)).copy()
+        gux = np.zeros((T_ - 1, m, n))
+        return gx, gu, gxx, guu, gux
+
+    def con(xs, us):
+        cs = [
+            np.array([-u_limit - us[t, 0], us[t, 0] - u_limit])
+            for t in range(T - 1)
+        ]
+        th = xs[-1, 1]
+        cs.append(
+            np.array([xs[-1, 0], np.sin((th - np.pi) / 2.0),
+                      xs[-1, 2], xs[-1, 3]])
+        )
+        return cs
+
+    def cjac(xs, us):
+        jacs = []
+        for _ in range(T - 1):
+            cx = np.zeros((2, n))
+            cu = np.array([[-1.0], [1.0]])
+            jacs.append((cx, cu))
+        cx = np.zeros((4, n))
+        cx[0, 0] = 1.0
+        cx[1, 1] = 0.5 * np.cos((xs[-1, 1] - np.pi) / 2.0)
+        cx[2, 2] = 1.0
+        cx[3, 3] = 1.0
+        jacs.append((cx, np.zeros((4, m))))
+        return jacs
+
+    ineq = [np.ones(2, bool) for _ in range(T - 1)] + [np.zeros(4, bool)]
+    prob = NpProblem(T, n, m, fd, fjac, cost, cost_derivs, con, cjac, ineq)
+    return prob, np.zeros(n), xT
+
+
+def quadrotor_problem(
+    T: int = 41, goal=(1.0, 1.0, 1.0), u_min: float = 0.0, u_max: float = 6.0
+) -> Tuple[NpProblem, np.ndarray, np.ndarray]:
+    """Quadrotor waypoint flight, numpy twin of models/quadrotor.py (12
+    states / 4 controls; rotor-thrust bounds + terminal hover equality)."""
+    mass, g, arm, kt = 1.0, 9.81, 0.2, 0.02
+    inertia = np.array([0.01, 0.01, 0.02])
+    h = 0.05
+    n, m = 12, 4
+    xT = np.zeros(n)
+    xT[0:3] = np.asarray(goal)
+    hover = mass * g / 4.0
+
+    def fc(x, u):
+        v = x[..., 6:9]
+        w = x[..., 9:12]
+        roll, pitch = x[..., 3], x[..., 4]
+        yaw = x[..., 5]
+        cr, sr = np.cos(roll), np.sin(roll)
+        cp, sp = np.cos(pitch), np.sin(pitch)
+        cy, sy = np.cos(yaw), np.sin(yaw)
+        thrust = u.sum(axis=-1)
+        bz = np.stack(
+            [cy * sp * cr + sy * sr, sy * sp * cr - cy * sr, cp * cr],
+            axis=-1,
+        )
+        gvec = np.zeros(3)
+        gvec[2] = g
+        acc = bz * (thrust / mass)[..., None] - gvec
+        tau = np.stack(
+            [
+                arm * (u[..., 1] - u[..., 3]),
+                arm * (u[..., 2] - u[..., 0]),
+                kt * (u[..., 0] - u[..., 1] + u[..., 2] - u[..., 3]),
+            ],
+            axis=-1,
+        )
+        wdot = (tau - np.cross(w, inertia * w)) / inertia
+        t_pitch = np.tan(pitch)
+        angdot = np.stack(
+            [
+                w[..., 0] + sr * t_pitch * w[..., 1] + cr * t_pitch * w[..., 2],
+                cr * w[..., 1] - sr * w[..., 2],
+                (sr * w[..., 1] + cr * w[..., 2]) / cp,
+            ],
+            axis=-1,
+        )
+        return np.concatenate([v, angdot, acc, wdot], axis=-1)
+
+    def fd(x, u):
+        return x + h * fc(x + 0.5 * h * fc(x, u), u)
+
+    fjac = complex_step_fjac(fd, n, m)
+    Wx = np.diag([1.0] * 3 + [0.5] * 3 + [0.1] * 6)
+
+    def cost(xs, us):
+        e = xs - xT
+        du = us - hover
+        stage = (e[:-1] @ Wx * e[:-1]).sum() + 0.05 * (du**2).sum()
+        return float(stage + (e[-1] ** 2).sum())
+
+    def cost_derivs(xs, us):
+        T_ = xs.shape[0]
+        e = xs - xT
+        gx = 2.0 * e @ Wx
+        gx[-1] = 2.0 * e[-1]
+        gu = 0.1 * (us - hover)
+        gxx = np.broadcast_to(2.0 * Wx, (T_, n, n)).copy()
+        gxx[-1] = 2.0 * np.eye(n)
+        guu = np.broadcast_to(0.1 * np.eye(m), (T_ - 1, m, m)).copy()
+        gux = np.zeros((T_ - 1, m, n))
+        return gx, gu, gxx, guu, gux
+
+    def con(xs, us):
+        cs = [
+            np.concatenate([u_min - us[t], us[t] - u_max])
+            for t in range(T - 1)
+        ]
+        cs.append(xs[-1] - xT)
+        return cs
+
+    def cjac(xs, us):
+        cu = np.concatenate([-np.eye(m), np.eye(m)], axis=0)
+        jacs = [(np.zeros((2 * m, n)), cu) for _ in range(T - 1)]
+        jacs.append((np.eye(n), np.zeros((n, m))))
+        return jacs
+
+    ineq = [np.ones(2 * m, bool) for _ in range(T - 1)] + [np.zeros(n, bool)]
+    prob = NpProblem(T, n, m, fd, fjac, cost, cost_derivs, con, cjac, ineq)
+    return prob, np.zeros(n), xT

@@ -191,8 +191,10 @@ class Options:
     # spikes (README MPC table, budget 8: worst transient 0.019); the
     # violation filter suppresses exactly those acceptances.  The
     # per-candidate violation is accumulated in the scoring scan's carry
-    # (no extra rollouts).  Implemented on the per-instance path (what MPC
-    # uses); the SL batched solver rejects it.
+    # (no extra rollouts) on both the per-instance path (what MPC uses)
+    # and the SL batched solver (so batched MPC farms keep the SL layout);
+    # on the SL path the filter pins the line search to the scan scoring
+    # (the pallas rollout kernels do not score per-candidate violations).
     constraint_aware_acceptance: bool = False
 
     # --- new: batched-solver implementation selector ---

@@ -161,6 +161,7 @@ def make_solve_fn(
     options: Options = Options(),
     callback: Optional[Callable[[CallbackState], CallbackState]] = None,
     dual_warm_start: bool = False,
+    backward_impl: Optional[Callable] = None,
 ):
     """Build the pure solve function ``(xs_init, us_init, ws) -> Solution``.
 
@@ -170,7 +171,17 @@ def make_solve_fn(
     ``(xs_init, us_init, ws, duals0, penalty0) -> Solution`` so MPC loops can
     carry multipliers across re-solves (a capability the reference's
     reset-on-entry precludes).
+
+    ``backward_impl``: optional Riccati-recursion override with the
+    ``ops.backward.backward_pass_scan`` signature (wrapped in the standard
+    regularization retry loop) — how the horizon-sharded backward reaches
+    the full solver (``parallel.make_long_horizon_solve_fn``).
     """
+    if backward_impl is not None and options.backward_pass == "packed":
+        raise ValueError(
+            'backward_impl cannot be combined with backward_pass="packed" '
+            "(the packed pipeline owns its own backward kernel)"
+        )
     nc = spec.nc
     x_mask = jnp.asarray(spec.x_mask)
     u_mask = jnp.asarray(spec.u_mask)
@@ -205,7 +216,8 @@ def make_solve_fn(
             gx, gu = gx + dgx, gu + dgu
             gxx, guu, gux = gxx + dgxx, guu + dguu, gux + dgux
         K, k, Qx, Qu, p, _ok, reg_next = backward_pass(
-            fx, fu, gx, gu, gxx, guu, gux, u_mask, reg, options
+            fx, fu, gx, gu, gxx, guu, gux, u_mask, reg, options,
+            impl=backward_impl,
         )
         # Lagrangian gradient inf-norm over valid dims
         # (reference: src/solve.jl:67-83 + norm at :35)

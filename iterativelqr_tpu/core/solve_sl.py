@@ -76,11 +76,6 @@ def make_sl_parts(
         raise ValueError("SL batched solver does not support live_progress")
     if not options.fused_al_loop:
         raise ValueError("SL batched solver implements the fused AL loop")
-    if options.constraint_aware_acceptance:
-        raise ValueError(
-            "SL batched solver does not implement "
-            "constraint_aware_acceptance; use the vmap path"
-        )
 
     o = options
     nc, T = spec.nc, spec.T

@@ -157,15 +157,22 @@ def _make_auto_dispatch(unroll: int):
     return dispatch
 
 
-def backward_pass(fx, fu, gx, gu, gxx, guu, gux, u_mask, reg_carry, options: Options):
+def backward_pass(fx, fu, gx, gu, gxx, guu, gux, u_mask, reg_carry, options: Options,
+                  impl=None):
     """Backward pass with adaptive Quu regularization.
 
     First attempt uses the carried ``reg`` (0 once the problem is locally PD,
     giving exact reference-parity gains); on failure ``reg`` is escalated
     geometrically and the recursion re-run.  On success the carried value
     decays so regularization vanishes when no longer needed.
+
+    ``impl``: optional recursion override with the ``backward_pass_scan``
+    signature/returns (sans ``unroll``) — e.g. the horizon-sharded backward
+    (parallel/horizon.py) — wrapped in the same regularization retry loop.
     """
-    if options.backward_pass == "associative":
+    if impl is not None:
+        bp = lambda *a, unroll=None: impl(*a)
+    elif options.backward_pass == "associative":
         from .assoc import backward_pass_associative as bp
     elif options.backward_pass == "auto":
         # regime selection by batchedness (measured, docs/design.md section 3):

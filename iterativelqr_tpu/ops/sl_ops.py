@@ -74,16 +74,26 @@ class SLOps:
             and not interpret
             and jax.default_backend() == "tpu"
         )
+        # constraint-aware acceptance scores candidates by their max
+        # violation accumulated in the scoring scan's carry; the pallas
+        # rollout kernels don't emit it, so the filter pins the scan path
+        self._viol_filter = (
+            options.constraint_aware_acceptance and spec.nc > 0
+        )
         self._fk_score = self._fk_reroll = None
         if want and options.line_search == "armijo":
-            eligible = fk.kernel_eligible(spec) and fk.reroll_fits(
-                spec, options
+            eligible = (
+                fk.kernel_eligible(spec)
+                and fk.reroll_fits(spec, options)
+                and not self._viol_filter
             )
             if not eligible and fkmode == "pallas":
                 raise ValueError(
                     'forward_kernel="pallas" requires stage-uniform '
-                    "dynamics/cost/constraint dispatch and VMEM-fitting "
-                    "re-roll outputs (ops/sl_forward_kernel.kernel_eligible)"
+                    "dynamics/cost/constraint dispatch, VMEM-fitting "
+                    "re-roll outputs (ops/sl_forward_kernel.kernel_eligible) "
+                    "and constraint_aware_acceptance=False (the kernels do "
+                    "not score per-candidate violations)"
                 )
             if eligible:
                 import numpy as _np
@@ -105,8 +115,9 @@ class SLOps:
                     spec, options, interpret=interpret
                 )
         self.ineq_t = jnp.asarray(spec.ineq_mask)          # [T, nc] bool
+        self.cmask_t = jnp.asarray(spec.c_mask)            # [T, nc] bool
         self.ineq_sl = self.ineq_t[:, :, None, None]
-        self.cmask_sl = jnp.asarray(spec.c_mask)[:, :, None, None]
+        self.cmask_sl = self.cmask_t[:, :, None, None]
 
         self.dyn2 = [map2(f) for f in spec.dyn_eval]
         self.cost2 = [map2(f) for f in spec.cost_eval]
@@ -260,7 +271,7 @@ class SLOps:
         scan_inputs = (
             self.td, self.tg, self.tc,
             xbar[:-1], ubar, ws[:-1], K, k,
-            duals[:-1], penalty[:-1], self.ineq_t[:-1],
+            duals[:-1], penalty[:-1], self.ineq_t[:-1], self.cmask_t[:-1],
         )
 
         def roll(alpha_sl, emit):
@@ -270,7 +281,7 @@ class SLOps:
 
             def step(carry, inp):
                 x, J = carry
-                td, tg, tc, xb, ub, w, K_t, k_t, lam_t, rho_t, iq_t = inp
+                td, tg, tc, xb, ub, w, K_t, k_t, lam_t, rho_t, iq_t, _ = inp
                 dx = x - xb
                 # broadcast-multiply-reduce: tiny contractions must never
                 # lower to dot_general (ops/linalg_small.py lesson)
@@ -367,14 +378,22 @@ class SLOps:
             score_tail_fn = (lambda: score_block(alphas[n1:]))
             roll_winner = lambda a: roll(a, emit=True)
 
+        viol_filter = self._viol_filter
+
         def score_block(alphas_blk):
             """Score a block of candidates in one scan: the candidate axis
-            rides axis 0 of the carry, shared per-step inputs read once."""
+            rides axis 0 of the carry, shared per-step inputs read once.
+            With constraint_aware_acceptance the per-candidate max violation
+            (ops/rollout.py ``viol_of`` semantics) is accumulated in the
+            carry alongside the objective."""
             nb = alphas_blk.shape[0]
 
             def score_step(carry, inp):
-                x, J = carry                   # [nb,nx,S,L], [nb,S,L]
-                td, tg, tc, xb, ub, w, K_t, k_t, lam_t, rho_t, iq_t = inp
+                if viol_filter:
+                    x, J, V = carry            # [nb,nx,S,L], [nb,S,L], [nb,S,L]
+                else:
+                    x, J = carry
+                td, tg, tc, xb, ub, w, K_t, k_t, lam_t, rho_t, iq_t, cm_t = inp
                 dx = x - xb[None]
                 u = (
                     ub[None]
@@ -393,14 +412,26 @@ class SLOps:
                     J = J + jnp.sum(
                         lam * c_t + 0.5 * a * rho * c_t * c_t, axis=1
                     )
+                    if viol_filter:
+                        v = jnp.where(iq, jnp.maximum(c_t, 0.0),
+                                      jnp.abs(c_t))
+                        v = jnp.where(cm_t[None, :, None, None], v, 0.0)
+                        V = jnp.maximum(V, jnp.max(v, axis=1))
                 xn = _switch(td, self.dyn3, x, u, w)
-                return (xn, J), jnp.zeros((), dtype)
+                carry_out = (xn, J, V) if viol_filter else (xn, J)
+                return carry_out, jnp.zeros((), dtype)
 
             x0 = jnp.broadcast_to(xbar[0][None], (nb, nx, S, 128))
-            (x_last, J_b), _ = jax.lax.scan(
-                score_step, (x0, jnp.zeros((nb, S, 128), dtype)),
-                scan_inputs, unroll=o.scan_unroll,
+            carry0 = (x0, jnp.zeros((nb, S, 128), dtype))
+            if viol_filter:
+                carry0 = carry0 + (jnp.zeros((nb, S, 128), dtype),)
+            carry_end, _ = jax.lax.scan(
+                score_step, carry0, scan_inputs, unroll=o.scan_unroll,
             )
+            if viol_filter:
+                x_last, J_b, V_b = carry_end
+            else:
+                x_last, J_b = carry_end
             u0 = jnp.zeros((nb, nu, S, 128), dtype)
             gT = self.cost3[self.gT](x_last, u0, ws[-1])
             J_b = J_b + gT
@@ -414,6 +445,14 @@ class SLOps:
                 J_b = J_b + jnp.sum(
                     lam * cT + 0.5 * a * rho * cT * cT, axis=1
                 )
+                if viol_filter:
+                    v = jnp.where(iq, jnp.maximum(cT, 0.0), jnp.abs(cT))
+                    v = jnp.where(
+                        self.cmask_t[-1][None, :, None, None], v, 0.0
+                    )
+                    V_b = jnp.maximum(V_b, jnp.max(v, axis=1))
+            if viol_filter:
+                return J_b, V_b
             return J_b
 
         def acc(J_blk, alphas_blk):
@@ -424,26 +463,65 @@ class SLOps:
             ) & jnp.isfinite(J_blk)
 
         n1 = min(8, na)
-        J_head = score_head_fn()
+        if viol_filter:
+            # constraint-aware acceptance (options.py; vmap-path analog in
+            # ops/forward.py): among the accepted candidates prefer the
+            # largest step whose max violation does not worsen beyond
+            # max(previous violation, tolerance)
+            viol_gate = jnp.maximum(
+                self.max_violation(c_prev),
+                jnp.asarray(o.constraint_tolerance, dtype),
+            )                                               # [S,L]
+        V_head = V_c = None
+        head = score_head_fn()
+        J_head = head[0] if viol_filter else head
+        if viol_filter:
+            V_head = head[1]
         if na > n1:
-            # tail block only when some result-consuming lane has no head
-            # acceptance (the winner is the LARGEST accepted alpha, so the
-            # tail cannot change lanes that already accepted in the head)
-            head_ok = jnp.any(acc(J_head, alphas[:n1]), axis=0)   # [S,L]
+            # tail block only when some result-consuming lane is unsettled
+            # by the head (the winner is the LARGEST accepted alpha, so the
+            # tail cannot change lanes that already accepted in the head).
+            # With the violation filter, "settled" additionally requires a
+            # head candidate that is accepted AND violation-preferred — a
+            # lane whose head acceptances all worsen the violation may find
+            # its preferred candidate in the tail.
+            head_acc = acc(J_head, alphas[:n1])
+            if viol_filter:
+                head_ok = jnp.any(
+                    head_acc & (V_head <= viol_gate[None]), axis=0
+                )                                           # [S,L]
+            else:
+                head_ok = jnp.any(head_acc, axis=0)         # [S,L]
             settled = head_ok if need is None else (head_ok | ~need)
-            J_tail = jax.lax.cond(
-                jnp.all(settled),
-                lambda: jnp.full((na - n1,) + J_head.shape[1:], jnp.inf,
-                                 dtype),
-                score_tail_fn,
-            )
+            blk_shape = (na - n1,) + J_head.shape[1:]
+            if viol_filter:
+                J_tail, V_tail = jax.lax.cond(
+                    jnp.all(settled),
+                    lambda: (jnp.full(blk_shape, jnp.inf, dtype),
+                             jnp.full(blk_shape, jnp.inf, dtype)),
+                    score_tail_fn,
+                )
+                V_c = jnp.concatenate([V_head, V_tail], axis=0)
+            else:
+                J_tail = jax.lax.cond(
+                    jnp.all(settled),
+                    lambda: jnp.full(blk_shape, jnp.inf, dtype),
+                    score_tail_fn,
+                )
             J_c = jnp.concatenate([J_head, J_tail], axis=0)
         else:
             J_c = J_head
+            V_c = V_head
 
         accept = acc(J_c, alphas)
         status = jnp.any(accept, axis=0)                   # [S,L]
         idx = jnp.argmax(accept, axis=0)                   # [S,L]
+        if viol_filter:
+            preferred = accept & (V_c <= viol_gate[None])
+            idx = jnp.where(
+                jnp.any(preferred, axis=0),
+                jnp.argmax(preferred, axis=0), idx,
+            )
         alpha_win = alphas[idx]
         J_win = jnp.take_along_axis(J_c, idx[None], axis=0)[0]
 

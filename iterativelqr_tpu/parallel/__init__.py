@@ -1,7 +1,11 @@
 """Parallel execution: vmapped batches and mesh-sharded pod-scale sweeps."""
 
 from .batch import BatchStats, batch_stats, make_batched_solve_fn
-from .horizon import make_horizon_sharded_backward, time_sharding
+from .horizon import (
+    make_horizon_sharded_backward,
+    make_long_horizon_solve_fn,
+    time_sharding,
+)
 from .shard import (
     default_mesh,
     distributed_initialize,
@@ -15,6 +19,7 @@ __all__ = [
     "batch_stats",
     "make_batched_solve_fn",
     "make_horizon_sharded_backward",
+    "make_long_horizon_solve_fn",
     "time_sharding",
     "default_mesh",
     "distributed_initialize",

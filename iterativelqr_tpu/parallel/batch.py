@@ -34,7 +34,6 @@ def _sl_eligible(options: Options, callback) -> bool:
         and options.fused_al_loop
         and not options.record_traces
         and not options.live_progress
-        and not options.constraint_aware_acceptance
         and callback is None
         and options.line_search in ("armijo", "none")
     )

@@ -149,3 +149,50 @@ def time_sharding(mesh: Mesh, axis_name: str = "time") -> NamedSharding:
     axis — put derivative stacks here so element construction and the gain
     expansion stay device-local around ``make_horizon_sharded_backward``."""
     return NamedSharding(mesh, P(axis_name))
+
+
+def make_long_horizon_solve_fn(
+    spec,
+    options=None,
+    *,
+    mesh: Mesh,
+    axis_name: str = "time",
+    callback=None,
+    dual_warm_start: bool = False,
+):
+    """Full single-instance constrained solve with the backward pass's TIME
+    axis sharded over ``mesh[axis_name]`` — the public entry for horizons
+    whose derivative stacks outgrow one device's HBM (round-4 verdict item
+    5; SURVEY.md section 5 long-context row; reference analog: none —
+    src/backward_pass.jl:42 is a strict serial loop on one core).
+
+    Returns the same callable as ``core.solve.make_solve_fn`` (identical
+    signature, Solution, and per-instance semantics — the sharded recursion
+    composes the SAME Riccati elements with the same operator, validated in
+    tests/test_horizon_shard.py); the Riccati recursion runs under
+    ``shard_map`` with one all-gather of per-chunk composites per backward
+    pass.  Derivative construction and the gain expansion are elementwise
+    over time, so placing the initial trajectory with ``time_sharding``
+    keeps the [T, nx*nx]-sized stacks distributed under jit's SPMD
+    partitioner.
+
+    Notes: ``backward_pass`` must not be "packed" (that selector is the
+    batched tile-packed pipeline; "auto"/"scan"/"associative" all route the
+    override).  For best effect jit the result with the mesh's devices
+    visible; batching via ``jax.vmap`` composes (the shard_map is over time,
+    not batch).
+    """
+    from ..core.options import Options
+    from ..core.solve import make_solve_fn
+
+    options = options or Options()
+    if options.backward_pass == "packed":
+        raise ValueError(
+            'make_long_horizon_solve_fn requires backward_pass != "packed" '
+            "(the packed pipeline owns its own batched backward kernel)"
+        )
+    bp = make_horizon_sharded_backward(mesh, axis_name)
+    return make_solve_fn(
+        spec, options, callback,
+        dual_warm_start=dual_warm_start, backward_impl=bp,
+    )

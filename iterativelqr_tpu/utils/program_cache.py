@@ -108,8 +108,14 @@ def cached_program(
     # backend is the tunneled TPU (where backend-bound lowering pays one
     # tunnel round trip per query — measured ~15 min/program vs ~6 s local
     # for the same batched-solve program).  The axon plugin reports its
-    # devices as platform "tpu", which is exactly the lowering target name.
-    exp = jexport.export(jitted, platforms=[jax.default_backend()])(
+    # devices as platform "tpu", which is exactly the lowering target name;
+    # jax.default_backend() reports "gpu" on CUDA/ROCm hosts, which is NOT a
+    # valid export target — canonicalize via the device platform (ADVICE r4).
+    platform = jax.default_backend()
+    if platform == "gpu":
+        pv = getattr(jax.devices()[0].client, "platform_version", "")
+        platform = "rocm" if "rocm" in pv.lower() else "cuda"
+    exp = jexport.export(jitted, platforms=[platform])(
         *example_args
     )
     path.parent.mkdir(parents=True, exist_ok=True)

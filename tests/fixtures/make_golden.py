@@ -29,7 +29,7 @@ import numpy as np
 
 import numpy_reference as npr
 from iterativelqr_tpu import Options, Solver, rollout
-from iterativelqr_tpu.models import acrobot, car, particle
+from iterativelqr_tpu.models import acrobot, car, cartpole, particle, quadrotor
 
 CASES = {
     # name: (jax problem, oracle problem, us0, oracle agreement atol (x, u))
@@ -39,6 +39,19 @@ CASES = {
             np.tile([1.0e-2, 1.0e-3], (50, 1)), (2e-2, 5e-2)),
     "acrobot": (acrobot.problem(51), npr.acrobot_problem(51),
                 0.05 * np.ones((50, 1)), (5e-2, 2e-1)),
+    # the BASELINE.json headline config (round-4 verdict item 4): a refactor
+    # that shifts the benchmarked T=101 solution must fail CI
+    "acrobot_T101": (acrobot.problem(101), npr.acrobot_problem(101),
+                     0.05 * np.ones((100, 1)), (5e-2, 2e-1)),
+    # the extra model families (protocol problems in MEASURED_TPU.md).
+    # cartpole's u gate is loose: the control rides the +/-10 saturation
+    # limit and the bang-bang switch lands one step apart between engine
+    # and oracle (one element, ~0.66) — the state gate (1e-1) pins the
+    # trajectory; test_golden.py re-pins the engine's own us tightly
+    "cartpole": (cartpole.problem(101), npr.cartpole_problem(101),
+                 cartpole.swingup_controls(101), (1e-1, 8e-1)),
+    "quadrotor": (quadrotor.problem(41), npr.quadrotor_problem(41),
+                  np.full((40, 4), 9.81 / 4.0), (5e-2, 2e-1)),
 }
 
 

@@ -97,3 +97,54 @@ def test_horizon_sharded_placement_stays_sharded():
     assert bool(ok)
     # K is [T-1, nu, nx]: the time axis must remain distributed
     assert len(K.sharding.device_set) == len(devices)
+
+
+def test_long_horizon_solve_fn_end_to_end():
+    """Public API: a T=513 constrained solve with the backward pass's time
+    axis sharded over the 8-device mesh (parallel.make_long_horizon_solve_fn
+    — round-4 verdict item 5) must run end-to-end and reproduce the
+    unsharded solver's iterates."""
+    from iterativelqr_tpu import Options
+    from iterativelqr_tpu.core.solve import make_solve_fn
+    from iterativelqr_tpu.models import pendulum
+    from iterativelqr_tpu.parallel import (
+        make_long_horizon_solve_fn,
+        time_sharding,
+    )
+
+    T = 513
+    dynamics, objective, constraints, x1, xT = pendulum.problem(T)
+    spec = build_spec(dynamics, objective, constraints)
+    mesh = Mesh(np.asarray(jax.devices()), ("time",))
+    # tiny iteration budget: this pins route/semantics, not convergence
+    opts = Options(verbose=False, record_traces=False, max_iterations=4,
+                   max_dual_updates=2, scan_unroll=1)
+    solve_sh = jax.jit(make_long_horizon_solve_fn(spec, opts, mesh=mesh))
+    solve_ref = jax.jit(make_solve_fn(spec, opts))
+
+    xs = jnp.zeros((T, spec.nx)).at[0].set(x1)
+    us = 0.01 * jnp.ones((T - 1, spec.nu))
+    ws = jnp.zeros((T, max(spec.npar, 0)))
+    sol = solve_sh(xs, us, ws)
+    ref = solve_ref(xs, us, ws)
+    np.testing.assert_allclose(
+        np.asarray(sol.xs), np.asarray(ref.xs), rtol=1e-6, atol=1e-8
+    )
+    assert int(sol.iterations) == int(ref.iterations)
+    assert np.isfinite(float(sol.objective))
+
+    # [T-1, ...] control stack placed time-sharded (512 % 8 == 0): the
+    # derivative stacks then stay distributed under jit's SPMD partitioner
+    us_p = jax.device_put(us, time_sharding(mesh))
+    sol_p = solve_sh(xs, us_p, ws)
+    np.testing.assert_allclose(
+        np.asarray(sol_p.xs), np.asarray(ref.xs), rtol=1e-6, atol=1e-8
+    )
+
+    # guard: the packed selector owns its own backward and must be rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        make_long_horizon_solve_fn(
+            spec, Options(backward_pass="packed"), mesh=mesh
+        )

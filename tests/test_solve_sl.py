@@ -316,3 +316,64 @@ def test_consecutive_truncation_limiter_restores_convergence():
         np.asarray(cap_default.al_iterations),
         np.asarray(cap_vmap.al_iterations)
     )
+
+
+def test_sl_constraint_aware_acceptance_matches_vmap():
+    """constraint_aware_acceptance on the SL path (batched MPC farms keep
+    the SL layout — round-4 verdict item 6): per-candidate violations are
+    accumulated in the SL scoring scan's carry and the preference rule
+    must pick the same candidates as the vmap path (ops/forward.py)."""
+    B = 4
+    spec, xs, us, ws = _batch(acrobot, 9, B, 0.05)
+    opts = dict(_BASE, constraint_aware_acceptance=True,
+                forward_kernel="scan")
+    ref = make_batched_solve_fn(
+        spec, Options(batched_solver="vmap", **opts)
+    )(xs, us, ws)
+    out = make_batched_solve_fn(
+        spec, Options(batched_solver="sl", **opts), interpret=True
+    )(xs, us, ws)
+    for name in ("xs", "us", "objective", "max_violation", "step_size"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out, name)),
+            np.asarray(getattr(ref, name)),
+            rtol=2e-3, atol=2e-3, err_msg=name,
+        )
+    np.testing.assert_array_equal(
+        np.asarray(out.iterations), np.asarray(ref.iterations)
+    )
+    # auto now keeps the SL layout with the filter on (no vmap fallback)
+    from iterativelqr_tpu.parallel.batch import _sl_eligible
+
+    assert _sl_eligible(
+        Options(constraint_aware_acceptance=True, record_traces=False),
+        None,
+    )
+
+
+def test_sl_constraint_aware_two_block_tail():
+    """The violation filter must interact correctly with the two-block
+    line search: with a wide candidate grid (na > 8) a lane whose head
+    acceptances all worsen the violation must still find its preferred
+    candidate in the tail block (settled-gate correctness)."""
+    B = 2
+    spec, xs, us, ws = _batch(car, 8, B, 0.01)
+    # na = 17 with the reference min_step_size -> head 8 + tail 9
+    opts = dict(_BASE, constraint_aware_acceptance=True,
+                forward_kernel="scan", min_step_size=1.0e-5)
+    ref = make_batched_solve_fn(
+        spec, Options(batched_solver="vmap", **opts)
+    )(xs, us, ws)
+    out = make_batched_solve_fn(
+        spec, Options(batched_solver="sl", **opts), interpret=True
+    )(xs, us, ws)
+    np.testing.assert_array_equal(
+        np.asarray(out.iterations), np.asarray(ref.iterations)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.xs), np.asarray(ref.xs), rtol=2e-3, atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.step_size), np.asarray(ref.step_size),
+        rtol=1e-6, atol=1e-6,
+    )
