@@ -174,12 +174,21 @@ class Options:
     # chunked double-buffered-DMA pallas kernels
     # (ops/sl_forward_kernel.py) run each whole scan in ONE kernel launch,
     # the same fix already measured at 41x on the backward recursion.
-    # "auto": kernels on TPU when the spec qualifies (stage-uniform
-    #         dispatch — ops/sl_forward_kernel.kernel_eligible); scan
-    #         elsewhere.  "pallas": require the kernels (raises if the spec
-    #         is ineligible; with interpret=True runs interpreted — tests).
-    # "scan": always the XLA lax.scan path.
-    forward_kernel: str = "auto"
+    # DEFAULT "scan": the kernels are a MEASURED NEGATIVE on this TPU
+    # environment — Mosaic compilation of the 17-candidate scoring kernel
+    # gets the remote tpu_compile_helper SIGKILLed (OOM), and the
+    # 9-candidate variant's compile runs tens of minutes vs seconds for
+    # the scan program (benchmarks/stage_bench.py --roofline, 2026-08-20;
+    # design.md section 4).  Numerics are pinned equal to the scan path
+    # (tests/test_sl_forward_kernel.py), so the kernels stay available:
+    # "pallas": require the kernels (raises if the spec is ineligible or
+    #           constraint_aware_acceptance is on; with interpret=True runs
+    #           interpreted — tests).
+    # "auto":  kernels on TPU when the spec qualifies (stage-uniform
+    #          dispatch — ops/sl_forward_kernel.kernel_eligible); scan
+    #          elsewhere.  Experimental until the compile-side negative is
+    #          resolved.
+    forward_kernel: str = "scan"
 
     # --- new: constraint-aware line-search acceptance (MPC transients) ---
     # Among the Armijo-accepted candidates, prefer the largest step that
