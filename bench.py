@@ -190,6 +190,10 @@ def run_preset(args, preset, ctag):
     from iterativelqr_tpu.utils.program_cache import cached_program
 
     T, B = args.horizon, args.batch
+    # per-preset measured-best dispatch chunk (see --chunk help)
+    chunk = args.chunk if args.chunk is not None else (
+        48 if preset == "parity" else 32
+    )
     devices = jax.devices()
     n_chips = len(devices)
     mesh = default_mesh(devices)
@@ -256,7 +260,7 @@ def run_preset(args, preset, ctag):
                 # size is a traced argument, so the per-shape programs are
                 # chunk-independent and --chunk sweeps reuse them
                 solve_raw = make_compacted_solve_fn(
-                    spec, opts, chunk=args.chunk,
+                    spec, opts, chunk=chunk,
                     cache_dir=cache_dir,
                     cache_key=cache_key,
                 )
@@ -289,7 +293,7 @@ def run_preset(args, preset, ctag):
             )
 
             solve_raw = make_compacted_solve_fn(
-                spec, opts, chunk=args.chunk, devices=devices
+                spec, opts, chunk=chunk, devices=devices
             )
             stats_jit = jax.jit(
                 lambda s: batch_stats(s, opts.constraint_tolerance)
@@ -359,6 +363,7 @@ def run_preset(args, preset, ctag):
         "unit": "solves/s/chip",
         "preset": preset,
         "batch": B,
+        "chunk": chunk,
         "chips": n_chips,
         "solved_fraction": round(solved_fraction, 4),
         "wall_clock_s": round(dt, 4),
@@ -381,8 +386,12 @@ def main():
         "program; wall clock then rides the iteration-count tail)",
     )
     ap.add_argument(
-        "--chunk", type=int, default=32,
-        help="iterations per dispatch for the compaction driver",
+        "--chunk", type=int, default=None,
+        help="iterations per dispatch for the compaction driver "
+        "(default: per-preset measured best — tuned 32, parity 48; "
+        "A/B/A/B 2026-08-20: parity 48 beats 32 by ~5% riding its "
+        "216-iteration tail with fewer host syncs, tuned 32 beats 48 by "
+        "~8% because 48x2 dispatches overshoot its 101-iteration solve)",
     )
     ap.add_argument(
         "--early-cap", type=int, default=None,
@@ -427,7 +436,7 @@ def main():
             ("horizon", args.horizon if args.horizon != 101 else None),
             ("reps", args.reps if args.reps != 3 else None),
             ("no_compact", True if args.no_compact else None),
-            ("chunk", args.chunk if args.chunk != 32 else None),
+            ("chunk", args.chunk),
             ("early_cap", args.early_cap),
             ("mct", args.mct),
             ("fk", args.fk),
