@@ -161,6 +161,14 @@ def preset_options(preset, args):
             # 9-candidate alpha grid: identical convergence on this problem
             # (accepted steps never fall below 4e-3), ~4x cheaper line search
             min_step_size=4.0e-3,
+            # inexact early AL rounds (cap sweep at HEAD 2026-08-20, B=8192,
+            # same-session no-cap control 15,319: cap 32 -> 15,557, 24 ->
+            # 15,905, 20 -> 16,639, 16 -> 16,449, 12 -> 16,596; all
+            # solved_fraction 1.0, max-iteration tail 105 -> 86).  20 is the
+            # knee's least-aggressive point; the progress gate +
+            # consecutive-truncation limiter + compaction rescue make it
+            # safe (Options docstrings, core/solve_compact.py)
+            early_round_iteration_cap=20,
         )
     else:
         # parity preset IS the library default: backward_pass="auto" +
