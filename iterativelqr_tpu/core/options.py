@@ -206,6 +206,32 @@ class Options:
     # (the pallas rollout kernels do not score per-candidate violations).
     constraint_aware_acceptance: bool = False
 
+    # --- new: full DDP (second-order dynamics terms) ---
+    # The reference's backward pass is Gauss-Newton iLQR: it drops the
+    # dynamics curvature terms sum_i Vx_i * d2f_i (src/backward_pass.jl:42-90
+    # forms Q** from first-order f terms only).  With ddp=True the backward
+    # recursion adds them (ops/backward.py::riccati_step f2 terms; tensors
+    # from core/spec.py::hess_fn via jacfwd of the Jacobians, so manual user
+    # Jacobians are honored).  Gains use Tassa-style STATE regularization
+    # (ops/backward.py riccati_step DDP branch): plain control-regularized
+    # DDP was measured wandering to a 5x-worse acrobot local optimum in 321
+    # iterations; with state reg it reaches a BETTER optimum than GN
+    # (objective 176.8 vs 254.9 at reference defaults, f64, T=101) in the
+    # same ~120 iterations.  Measured honestly: linear dynamics are
+    # bit-identical to GN (particle), car converges but needs ~6x the
+    # iterations — curvature helps or hurts per problem, which is why the
+    # default is False.  Constraint curvature stays Gauss-Newton (standard
+    # AL-DDP practice; the AL penalty Hessian keeps the reference's form,
+    # ops/al.py).
+    #
+    # Restrictions: the contraction needs Vx(t+1) inside the step, so DDP
+    # requires the sequential scan recursion — incompatible with
+    # backward_pass="associative" (per-step elements must not depend on
+    # downstream V) and "packed" (the pallas kernel does not carry the
+    # second-derivative stacks); "auto" resolves to the scan.  The SL batched
+    # solver falls back to the vmap path (parallel/batch.py::_sl_eligible).
+    ddp: bool = False
+
     # --- new: batched-solver implementation selector ---
     # "auto": on TPU with backward_pass="packed", no traces/live_progress and
     #         the fused AL loop, batched solves run the SL-layout solver
@@ -235,6 +261,19 @@ class Options:
             raise ValueError(f"unknown backward_pass {self.backward_pass!r}")
         if self.batched_solver not in ("auto", "vmap", "sl"):
             raise ValueError(f"unknown batched_solver {self.batched_solver!r}")
+        if self.ddp and self.backward_pass in ("associative", "packed"):
+            raise ValueError(
+                f'ddp=True requires the sequential scan recursion (the DDP '
+                f'contraction uses Vx(t+1) inside the step); '
+                f'backward_pass={self.backward_pass!r} is incompatible — '
+                'use "scan" or "auto"'
+            )
+        if self.ddp and self.batched_solver == "sl":
+            raise ValueError(
+                "ddp=True is not supported by the SL batched solver (its "
+                'packed backward kernel carries no second-derivative '
+                'stacks); use batched_solver="vmap" or "auto"'
+            )
         if self.forward_kernel not in ("auto", "pallas", "scan"):
             raise ValueError(f"unknown forward_kernel {self.forward_kernel!r}")
         if self.max_total_iterations is not None and self.max_total_iterations < 1:

@@ -22,6 +22,7 @@ converges and converged instances stop changing (SURVEY.md section 7).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, NamedTuple, Optional
 
 import jax
@@ -182,6 +183,11 @@ def make_solve_fn(
             'backward_impl cannot be combined with backward_pass="packed" '
             "(the packed pipeline owns its own backward kernel)"
         )
+    if backward_impl is not None and options.ddp:
+        raise ValueError(
+            "backward_impl cannot be combined with ddp=True (the DDP terms "
+            "supply their own scan recursion)"
+        )
     nc = spec.nc
     x_mask = jnp.asarray(spec.x_mask)
     u_mask = jnp.asarray(spec.u_mask)
@@ -215,9 +221,21 @@ def make_solve_fn(
             )
             gx, gu = gx + dgx, gu + dgu
             gxx, guu, gux = gxx + dgxx, guu + dguu, gux + dgux
+        impl = backward_impl
+        if options.ddp:
+            # full DDP: dynamics curvature contracted with Vx(t+1) inside
+            # the scan step (ops/backward.py::riccati_step f2 terms); the
+            # tensors are closed over, so the regularization retry loop
+            # re-runs the same recursion unchanged
+            from ..ops.backward import backward_pass_scan
+
+            f2 = dv.dynamics_hessians(spec, xs, us, ws)
+            impl = functools.partial(
+                backward_pass_scan, unroll=options.scan_unroll, f2=f2
+            )
         K, k, Qx, Qu, p, _ok, reg_next = backward_pass(
             fx, fu, gx, gu, gxx, guu, gux, u_mask, reg, options,
-            impl=backward_impl,
+            impl=impl,
         )
         # Lagrangian gradient inf-norm over valid dims
         # (reference: src/solve.jl:67-83 + norm at :35)

@@ -76,6 +76,11 @@ def make_sl_parts(
         raise ValueError("SL batched solver does not support live_progress")
     if not options.fused_al_loop:
         raise ValueError("SL batched solver implements the fused AL loop")
+    if options.ddp:
+        raise ValueError(
+            "SL batched solver does not support ddp=True (packed backward "
+            "kernel carries no second-derivative stacks); use the vmap path"
+        )
 
     o = options
     nc, T = spec.nc, spec.T

@@ -255,7 +255,18 @@ def _wrap_dyn(d: Dynamics, nx: int, nu: int, npar: int):
             fu = jax.jacfwd(eval_fn, argnums=1)(x, u, w)
             return fx, fu
 
-    return eval_fn, jac_fn
+    def hess_fn(x, u, w):
+        """Second derivatives of the dynamics for full DDP
+        (``Options.ddp``; the reference's Gauss-Newton iLQR never forms
+        these).  Conventions: fxx[i,a,b] = d2 f_i / dx_a dx_b,
+        fuu[i,a,b] = d2 f_i / du_a du_b, fux[i,a,b] = d2 f_i / du_a dx_b.
+        Differentiates ``jac_fn`` so manual user Jacobians (when provided)
+        are honored; padded dims carry exact zeros by construction."""
+        fxx, fux = jax.jacfwd(jac_fn, argnums=0)(x, u, w)
+        _, fuu = jax.jacfwd(jac_fn, argnums=1)(x, u, w)
+        return fxx, fuu, fux
+
+    return eval_fn, jac_fn, hess_fn
 
 
 def _wrap_cost(g: Cost, nx: int, nu: int, npar: int):
@@ -366,6 +377,7 @@ class ProblemSpec:
     # per-family: tuple of wrapped per-type callables + grouping
     dyn_eval: tuple
     dyn_jac: tuple
+    dyn_hess: tuple  # second derivatives (Options.ddp)
     dyn_tidx: np.ndarray  # [T-1]
     dyn_groups: tuple  # tuple of ndarray
 
@@ -480,6 +492,7 @@ def build_spec(
         npar=npar,
         dyn_eval=tuple(w[0] for w in dyn_wrapped),
         dyn_jac=tuple(w[1] for w in dyn_wrapped),
+        dyn_hess=tuple(w[2] for w in dyn_wrapped),
         dyn_tidx=d_tidx,
         dyn_groups=tuple(d_groups),
         cost_eval=tuple(w[0] for w in cost_wrapped),

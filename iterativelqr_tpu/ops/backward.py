@@ -28,12 +28,20 @@ from ..core.options import Options
 from . import linalg_small
 
 
-def riccati_step(P, p, fx_t, fu_t, gx_t, gu_t, gxx_t, guu_t, gux_t, um, reg):
+def riccati_step(P, p, fx_t, fu_t, gx_t, gu_t, gxx_t, guu_t, gux_t, um, reg,
+                 f2_t=None):
     """One backward step at time t given the value function (P, p) at t+1.
 
     Mirrors reference src/backward_pass.jl:44-89 (Q-expansion, gains, value
     update), with padding masks and regularization added.  ``um`` is the float
     action-validity mask [nu].
+
+    ``f2_t``: optional (fxx, fuu, fux) dynamics second derivatives at t
+    (``Options.ddp``) — adds the full-DDP curvature terms
+    ``Q** += sum_i Vx_i(t+1) * f2_i`` that Gauss-Newton iLQR (and the
+    reference) drop.  The contraction uses the carried ``p`` (the value
+    gradient at t+1), so it cannot ride the associative-scan or packed-kernel
+    formulations, whose per-step elements must not depend on downstream V.
     """
     # all products via broadcast-multiply-reduce (linalg_small.matmul): a
     # dot_general per 4x4 product costs a ~20us kernel on TPU; this form lets
@@ -48,12 +56,33 @@ def riccati_step(P, p, fx_t, fu_t, gx_t, gu_t, gxx_t, guu_t, gux_t, um, reg):
     Qxx = gxx_t + mm(fxTP, fx_t)
     Quu = guu_t + mm(fuTP, fu_t)
     Qux = gux_t + mm(fuTP, fx_t)
+    if f2_t is not None:
+        fxx_t, fuu_t, fux_t = f2_t
+        pw = p[:, None, None]
+        Qxx = Qxx + jnp.sum(pw * fxx_t, axis=0)
+        Quu = Quu + jnp.sum(pw * fuu_t, axis=0)
+        Qux = Qux + jnp.sum(pw * fux_t, axis=0)
 
     # padded action dims: identity diagonal so the factorization is well posed
     # and the corresponding gain rows vanish
     mask2 = um[:, None] * um[None, :]
     Quu_eff = Quu * mask2 + jnp.diag(1.0 - um)
-    Quu_reg = Quu_eff + reg * jnp.diag(um)
+    if f2_t is not None:
+        # DDP needs STATE regularization (Tassa et al. 2012): the curvature
+        # terms make plain Quu-diagonal damping steer the gains through an
+        # indefinite Qux far from the optimum (measured on acrobot T=101:
+        # control-reg DDP wanders to a 5x-worse local optimum in 321
+        # iterations).  Regularize through the value function for the GAIN
+        # computation only — Quu~ = guu + fuT (P + reg I) fu + Vx.fuu,
+        # Qux~ = gux + fuT (P + reg I) fx + Vx.fux — and keep the value
+        # update on the unregularized quantities, as in the GN branch.
+        fuT_reg = fuT * reg
+        Quu_g = Quu_eff + mm(fuT_reg, fu_t) * mask2
+        Qux_g = Qux + mm(fuT_reg, fx_t)
+        Quu_reg = Quu_g + 1.0e-9 * jnp.diag(um)
+    else:
+        Qux_g = Qux
+        Quu_reg = Quu_eff + reg * jnp.diag(um)
 
     # unrolled small-matrix Cholesky/solves (ops/linalg_small.py): the stock
     # blocked factorizations dominate the whole backward pass on TPU at these
@@ -63,7 +92,7 @@ def riccati_step(P, p, fx_t, fu_t, gx_t, gu_t, gxx_t, guu_t, gux_t, um, reg):
     ok = jnp.all(jnp.isfinite(diag) & (diag > 0.0))
 
     # K = -Quu \ Qux ; k = -Quu \ Qu  (reference: src/backward_pass.jl:66-75)
-    sol = linalg_small.cho_solve(L, jnp.concatenate([Qux, Qu[:, None]], axis=1))
+    sol = linalg_small.cho_solve(L, jnp.concatenate([Qux_g, Qu[:, None]], axis=1))
     K = -sol[:, :-1] * um[:, None]
     k = -sol[:, -1] * um
 
@@ -78,30 +107,39 @@ def riccati_step(P, p, fx_t, fu_t, gx_t, gu_t, gxx_t, guu_t, gux_t, um, reg):
     return P_new, p_new, ok, K, k, Qx, Qu
 
 
-def backward_pass_scan(fx, fu, gx, gu, gxx, guu, gux, u_mask, reg, unroll=1):
+def backward_pass_scan(fx, fu, gx, gu, gxx, guu, gux, u_mask, reg, unroll=1,
+                       f2=None):
     """Reverse-scan Riccati recursion.
 
     Returns (K [T-1,nu,nx], k [T-1,nu], Qx [T-1,nx], Qu [T-1,nu],
     p [T-1,nx] — the value gradient *at* t, used by the Lagrangian gradient —
     and an all-timesteps PD-success flag).
     Terminal init P=gxx_T, p=gx_T (reference: src/backward_pass.jl:39-40).
+
+    ``f2``: optional (fxx [T-1,nx,nx,nx], fuu, fux) stacks for full DDP
+    (see ``riccati_step``).
     """
     dtype = gx.dtype
     um = u_mask.astype(dtype)
 
     def step(carry, inp):
         P, p, ok = carry
-        fx_t, fu_t, gx_t, gu_t, gxx_t, guu_t, gux_t, um_t = inp
+        fx_t, fu_t, gx_t, gu_t, gxx_t, guu_t, gux_t, um_t = inp[:8]
+        f2_t = inp[8:] if len(inp) > 8 else None
         P_new, p_new, ok_t, K, k, Qx, Qu = riccati_step(
-            P, p, fx_t, fu_t, gx_t, gu_t, gxx_t, guu_t, gux_t, um_t, reg
+            P, p, fx_t, fu_t, gx_t, gu_t, gxx_t, guu_t, gux_t, um_t, reg,
+            f2_t=f2_t,
         )
         return (P_new, p_new, ok & ok_t), (K, k, Qx, Qu, p_new)
 
+    xs_in = (fx, fu, gx[:-1], gu, gxx[:-1], guu, gux, um)
+    if f2 is not None:
+        xs_in = xs_in + tuple(f2)
     init = (gxx[-1], gx[-1], jnp.asarray(True))
     (_, _, ok), (K, k, Qx, Qu, p) = jax.lax.scan(
         step,
         init,
-        (fx, fu, gx[:-1], gu, gxx[:-1], guu, gux, um),
+        xs_in,
         reverse=True,
         unroll=unroll,
     )

@@ -89,6 +89,20 @@ def dynamics_jacobians(spec: ProblemSpec, xs, us, ws):
     )
 
 
+def dynamics_hessians(spec: ProblemSpec, xs, us, ws):
+    """Second derivatives of the dynamics, for full DDP (``Options.ddp``).
+
+    Returns (fxx [T-1,nx,nx,nx], fuu [T-1,nx,nu,nu], fux [T-1,nx,nu,nx])
+    with fxx[t,i,a,b] = d2 f_i/dx_a dx_b etc. (core/spec.py::hess_fn
+    conventions).  The reference computes first derivatives only — its
+    backward pass is Gauss-Newton iLQR (src/backward_pass.jl:42-90); these
+    tensors feed the optional DDP terms in ops/backward.py.
+    """
+    return _grouped(
+        spec.dyn_hess, spec.dyn_groups, spec.T - 1, (xs[:-1], us, ws[:-1])
+    )
+
+
 def stage_derivatives(spec: ProblemSpec, xs, us, ws):
     """All cost/dynamics derivative stacks in ONE fused pass.
 

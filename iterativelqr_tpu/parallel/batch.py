@@ -34,6 +34,7 @@ def _sl_eligible(options: Options, callback) -> bool:
         and options.fused_al_loop
         and not options.record_traces
         and not options.live_progress
+        and not options.ddp  # DDP needs the scan recursion (core/options.py)
         and callback is None
         and options.line_search in ("armijo", "none")
     )
