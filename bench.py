@@ -182,7 +182,11 @@ def preset_options(preset, args):
 
         overrides = {}
         if args.early_cap is not None:
-            overrides["early_round_iteration_cap"] = args.early_cap
+            # 0 = the uncapped schedule (Options wants None, argparse can't
+            # say it) — the no-cap control the tuned preset was swept against
+            overrides["early_round_iteration_cap"] = (
+                args.early_cap if args.early_cap > 0 else None
+            )
         if args.mct is not None:
             overrides["max_consecutive_truncations"] = args.mct
         if fk is not None:
@@ -414,7 +418,9 @@ def main():
     )
     ap.add_argument(
         "--early-cap", type=int, default=None,
-        help="override Options.early_round_iteration_cap (schedule experiments)",
+        help="override Options.early_round_iteration_cap (schedule "
+        "experiments; 0 = uncapped — the no-cap control for the tuned "
+        "preset, which defaults to cap 20)",
     )
     ap.add_argument(
         "--mct", type=int, default=None,

@@ -213,16 +213,18 @@ class Options:
     # recursion adds them (ops/backward.py::riccati_step f2 terms; tensors
     # from core/spec.py::hess_fn via jacfwd of the Jacobians, so manual user
     # Jacobians are honored).  Gains use Tassa-style STATE regularization
-    # (ops/backward.py riccati_step DDP branch): plain control-regularized
-    # DDP was measured wandering to a 5x-worse acrobot local optimum in 321
-    # iterations; with state reg it reaches a BETTER optimum than GN
-    # (objective 176.8 vs 254.9 at reference defaults, f64, T=101) in the
-    # same ~120 iterations.  Measured honestly: linear dynamics are
-    # bit-identical to GN (particle), car converges but needs ~6x the
-    # iterations — curvature helps or hurts per problem, which is why the
-    # default is False.  Constraint curvature stays Gauss-Newton (standard
-    # AL-DDP practice; the AL penalty Hessian keeps the reference's form,
-    # ops/al.py).
+    # with a 1e-3-weighted diagonal share (ops/backward.py riccati_step DDP
+    # branch): plain control-regularized DDP was measured wandering to a
+    # 5x-worse acrobot local optimum in 321 iterations; with state reg it
+    # reaches a BETTER optimum than GN (objective 176.7 vs 254.9 at
+    # reference defaults, f64, T=101) in a similar count (144 vs 122).
+    # Measured honestly: linear dynamics match GN exactly in exact
+    # arithmetic (same iterate counts; <=1e-12 numerical difference from
+    # compiled-program fusion ordering — tests/test_ddp.py), car converges
+    # but needs ~5x the iterations (81 vs 16) — curvature helps or hurts
+    # per problem, which is why the default is False.  Constraint curvature
+    # stays Gauss-Newton (standard AL-DDP practice; the AL penalty Hessian
+    # keeps the reference's form, ops/al.py).
     #
     # Restrictions: the contraction needs Vx(t+1) inside the step, so DDP
     # requires the sequential scan recursion — incompatible with

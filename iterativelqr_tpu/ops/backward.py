@@ -79,7 +79,16 @@ def riccati_step(P, p, fx_t, fu_t, gx_t, gu_t, gxx_t, guu_t, gux_t, um, reg,
         fuT_reg = fuT * reg
         Quu_g = Quu_eff + mm(fuT_reg, fu_t) * mask2
         Qux_g = Qux + mm(fuT_reg, fx_t)
-        Quu_reg = Quu_g + 1.0e-9 * jnp.diag(um)
+        # a SMALL diagonal share of reg rides along: state reg alone
+        # (reg*fuT fu) is singular along null(fu), so an indefinite Vx.fuu
+        # term there could never be cured and the retry loop would exhaust
+        # (NaN gains).  The 1e-3 weighting keeps the damping's state-reg
+        # character (equal weighting was measured to triple acrobot DDP
+        # iterations and land a worse optimum) while regularization_max =
+        # 1e12 still pushes 1e9 onto the diagonal in the limit, so
+        # escalation provably terminates.  At reg=0 (the common converged
+        # case) this is exactly the GN factorization.
+        Quu_reg = Quu_g + (1.0e-3 * reg) * jnp.diag(um)
     else:
         Qux_g = Qux
         Quu_reg = Quu_eff + reg * jnp.diag(um)

@@ -125,6 +125,38 @@ def test_ddp_batched_vmap_matches_single():
         )
 
 
+def test_ddp_regularization_cures_null_fu_indefiniteness():
+    """State regularization (reg * fuT fu) is singular along null(fu): a
+    dynamics with a zero fu column and concave curvature there (Vx.fuu < 0)
+    can only be cured by the diagonal share of the damping
+    (ops/backward.py riccati_step DDP branch).  Without it the retry loop
+    exhausts and the solve returns NaN gains."""
+    from iterativelqr_tpu.core.spec import Cost, Dynamics
+
+    T = 6
+    # f = [x0 + u0, x1 - u1^2]: fu's second column is zero at u1 = 0 (the
+    # line-search origin), and d2 f_1/du1^2 = -2, so with Vx_1 > 0 the DDP
+    # term makes Quu[1,1] negative while reg*fuT fu cannot touch it.
+    dyn = Dynamics(
+        lambda x, u: jnp.array([x[0] + u[0], x[1] - u[1] ** 2]), 2, 2
+    )
+    # tiny control cost keeps guu ~ 0 so the curvature dominates; the state
+    # cost drives Vx_1 positive along the backward pass
+    stage = Cost(
+        lambda x, u: x[1] + 0.5 * x[0] ** 2 + 1e-4 * (u @ u), 2, 2
+    )
+    term = Cost(lambda x, u: x[1] + 0.5 * x[0] ** 2, 2, 0)
+    spec = build_spec([dyn] * (T - 1), [stage] * (T - 1) + [term], None)
+    xs = jnp.zeros((T, spec.nx)).at[0, 0].set(1.0)
+    us = jnp.zeros((T - 1, spec.nu))
+    ws = jnp.zeros((T, 0))
+    sol = jax.jit(make_solve_fn(spec, Options(verbose=False, ddp=True)))(
+        xs, us, ws
+    )
+    assert bool(jnp.all(jnp.isfinite(sol.xs))), "NaN trajectory: PD retry failed"
+    assert bool(jnp.all(jnp.isfinite(sol.K)))
+
+
 def test_ddp_option_validation():
     with pytest.raises(ValueError):
         Options(ddp=True, backward_pass="associative")
