@@ -123,7 +123,15 @@ def measure_baseline(T, cache_path):
 def code_tag():
     """Hash of the package files that determine the benched program, so a
     code change can never silently serve a stale pre-lowered program (and
-    the committed bench artifacts are auditable against HEAD)."""
+    the committed bench artifacts are auditable against HEAD).
+
+    The hash is over each file's docstring-stripped AST, not its bytes:
+    comments, whitespace, and docstrings cannot change the traced XLA
+    program, and hashing them forced a full TPU bench re-run (the CLAUDE.md
+    re-run rule, enforced by tests/test_bench_cache_fresh.py) for every
+    doc-only touch of a core file — three same-day re-runs in round 5 alone.
+    """
+    import ast
     import glob
     import hashlib
 
@@ -142,8 +150,20 @@ def code_tag():
         else:
             files.extend(glob.glob(os.path.join(r, "**", "*.py"), recursive=True))
     for f in sorted(files):
-        with open(f, "rb") as fh:
-            h.update(fh.read())
+        with open(f) as fh:
+            tree = ast.parse(fh.read())
+        for node in ast.walk(tree):
+            body = getattr(node, "body", None)
+            if (
+                isinstance(body, list)
+                and body
+                and isinstance(body[0], ast.Expr)
+                and isinstance(body[0].value, ast.Constant)
+                and isinstance(body[0].value.value, str)
+            ):
+                node.body = body[1:] or [ast.Pass()]
+        h.update(os.path.relpath(f, pkg).encode())
+        h.update(ast.dump(tree).encode())
     return h.hexdigest()[:10]
 
 

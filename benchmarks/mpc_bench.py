@@ -120,6 +120,11 @@ def main():
         help="comma list of max_step_iterations budgets to sweep "
         "(e.g. 3,5,8,12); default: full convergence + budget 5",
     )
+    ap.add_argument(
+        "--ddp", action="store_true",
+        help="also sweep Options(ddp=True) variants (full second-order "
+        "dynamics terms; forces the scan backward — see core/options.py)",
+    )
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -140,6 +145,8 @@ def main():
             dict(backward_pass="auto"),
             dict(backward_pass="auto", max_step_iterations=5),
         ]
+    if args.ddp:
+        sweeps = sweeps + [dict(s, ddp=True) for s in sweeps]
     for T in [int(t) for t in args.horizons.split(",")]:
         for kwargs in sweeps:
             for carry in [True]:

@@ -222,9 +222,12 @@ class Options:
     # arithmetic (same iterate counts; <=1e-12 numerical difference from
     # compiled-program fusion ordering — tests/test_ddp.py), car converges
     # but needs ~5x the iterations (81 vs 16) — curvature helps or hurts
-    # per problem, which is why the default is False.  Constraint curvature
-    # stays Gauss-Newton (standard AL-DDP practice; the AL penalty Hessian
-    # keeps the reference's form, ops/al.py).
+    # per problem, which is why the default is False.  Also a measured
+    # NEGATIVE for warm-started MPC on TPU (f32, T=101: 80.9 vs 43.8 ms
+    # steady step, worse budget-truncated transients —
+    # benchmarks/MEASURED_TPU.md).  Constraint curvature stays Gauss-Newton
+    # (standard AL-DDP practice; the AL penalty Hessian keeps the
+    # reference's form, ops/al.py).
     #
     # Restrictions: the contraction needs Vx(t+1) inside the step, so DDP
     # requires the sequential scan recursion — incompatible with
