@@ -197,10 +197,14 @@ def preset_options(preset, args):
         # elsewhere — no hand-set performance knobs
         opts = Options(verbose=False, record_traces=False)
     fk = getattr(args, "fk", None)
-    if args.early_cap is not None or args.mct is not None or fk is not None:
+    min_step = getattr(args, "min_step", None)
+    if (args.early_cap is not None or args.mct is not None or fk is not None
+            or min_step is not None):
         import dataclasses
 
         overrides = {}
+        if min_step is not None:
+            overrides["min_step_size"] = min_step
         if args.early_cap is not None:
             # 0 = the uncapped schedule (Options wants None, argparse can't
             # say it) — the no-cap control the tuned preset was swept against
@@ -449,6 +453,12 @@ def main():
         "compaction driver's rescue pass)",
     )
     ap.add_argument(
+        "--min-step", type=float, default=None, dest="min_step",
+        help="override Options.min_step_size (line-search grid experiments: "
+        "the candidate count is floor(log2(1/min_step))+1 — tuned preset "
+        "4e-3 = 9 candidates, reference default 1e-5 = 17)",
+    )
+    ap.add_argument(
         "--fk", choices=["auto", "scan", "pallas"], default=None,
         help="override Options.forward_kernel (pallas line-search rollout "
         "kernels vs the lax.scan path — end-to-end A/B, round-4 verdict "
@@ -485,6 +495,7 @@ def main():
             ("early_cap", args.early_cap),
             ("mct", args.mct),
             ("fk", args.fk),
+            ("min_step", args.min_step),
         )
         if v is not None
     }

@@ -54,6 +54,34 @@ def _require(prefix, tags, what):
     )
 
 
+def test_bench_cli_override_mapping():
+    """--early-cap 0 must mean the UNCAPPED schedule (Options wants None —
+    the no-cap control the tuned preset was swept against), and --min-step
+    must reach Options.min_step_size; both alter the options fingerprint so
+    experiments can never serve canonical cache artifacts."""
+    bench = _load_bench()
+    base = types.SimpleNamespace(early_cap=None, mct=None, fk=None,
+                                 min_step=None)
+    tuned = bench.preset_options("tuned", base)
+    assert tuned.early_round_iteration_cap == 20  # the swept-in default
+    nocap = bench.preset_options(
+        "tuned",
+        types.SimpleNamespace(early_cap=0, mct=None, fk=None, min_step=None),
+    )
+    assert nocap.early_round_iteration_cap is None
+    grid = bench.preset_options(
+        "tuned",
+        types.SimpleNamespace(early_cap=None, mct=None, fk=None,
+                              min_step=1.6e-2),
+    )
+    assert grid.min_step_size == pytest.approx(1.6e-2)
+    assert grid.num_step_sizes == 6
+    for other in (nocap, grid):
+        a = hashlib.sha256(repr(tuned).encode()).hexdigest()[:6]
+        b = hashlib.sha256(repr(other).encode()).hexdigest()[:6]
+        assert a != b
+
+
 @pytest.mark.parametrize("preset", ["tuned", "parity"])
 def test_full_bench_artifacts_match_head(preset):
     """The driver config (bench.py CANONICAL_BATCH): init/first-chunk/finish
