@@ -74,7 +74,18 @@ def main():
     if args.quick:
         args.total = 256
 
-    distributed_initialize()
+    # On a pod slice / cluster runner, jax.distributed auto-detects the
+    # coordinator (TPU metadata, SLURM, ...).  On a plain single-process
+    # dev box there is nothing to detect and initialize() raises exactly
+    # "coordinator_address should be defined" — that case IS the
+    # documented single-process mode, so proceed with the local devices.
+    # Any other init failure re-raises (parallel/shard.py rationale).
+    try:
+        distributed_initialize()
+    except ValueError as e:
+        if "coordinator_address" not in str(e):
+            raise
+        print("single-process mode (no cluster coordinator detected)")
     mesh = default_mesh()
     T = args.horizon
     opts = Options(verbose=False, record_traces=False)
