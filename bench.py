@@ -15,7 +15,7 @@ honest stand-in for the reference's single-threaded CPU execution model.  The
 baseline is measured once and cached in benchmarks/baseline_local.json.
 
 A default (no-flag) run measures BOTH presets — "tuned" (hot AL schedule +
-9-alpha grid) and "parity" (the library defaults, i.e. ``Options()``) — so
+8-alpha grid) and "parity" (the library defaults, i.e. ``Options()``) — so
 every driver capture carries a same-code-hash parity number (round-3 verdict
 item 7).  Per-preset records are written to benchmarks/BENCH_tuned.json and
 benchmarks/BENCH_parity.json.
@@ -178,7 +178,7 @@ def preset_options(preset, args):
             verbose=False,
             record_traces=False,
             initial_constraint_penalty=1000.0,
-            # 9-candidate alpha grid: identical convergence on this problem
+            # 8-candidate alpha grid: identical convergence on this problem
             # (accepted steps never fall below 4e-3), ~4x cheaper line search
             min_step_size=4.0e-3,
             # inexact early AL rounds (cap sweep at HEAD 2026-08-20, B=8192,
@@ -466,7 +466,7 @@ def main():
     )
     ap.add_argument(
         "--preset", choices=["tuned", "parity", "both"], default=None,
-        help="tuned: hot-start AL penalty schedule + 9-alpha grid + pallas "
+        help="tuned: hot-start AL penalty schedule + 8-alpha grid + pallas "
         "backward on TPU (same tolerances, fewer iterations, solved_fraction "
         "checked); parity: the default options — reference tolerances and "
         "knobs with the stall-gated adaptive AL schedule (adaptive_penalty); "

@@ -166,7 +166,7 @@ def main():
         "line_search_full": (
             make_line_search(opts), (xs, us, ws, K, kff, duals, penalty)
         ),
-        "line_search_9alpha": (
+        "line_search_8alpha": (
             make_line_search(_dc.replace(opts, min_step_size=4.0e-3)),
             (xs, us, ws, K, kff, duals, penalty),
         ),
@@ -241,10 +241,10 @@ def main():
             "sl_line_search_full_scan": (
                 make_sl_ls(_dc.replace(opts, forward_kernel="scan")), ls_args
             ),
-            "sl_line_search_9alpha": (
+            "sl_line_search_8alpha": (
                 make_sl_ls(_dc.replace(opts, min_step_size=4.0e-3)), ls_args
             ),
-            "sl_line_search_9alpha_scan": (
+            "sl_line_search_8alpha_scan": (
                 make_sl_ls(_dc.replace(opts, min_step_size=4.0e-3,
                                        forward_kernel="scan")), ls_args
             ),

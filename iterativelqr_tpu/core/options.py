@@ -177,7 +177,7 @@ class Options:
     # DEFAULT "scan": the kernels are a MEASURED NEGATIVE on this TPU
     # environment — Mosaic compilation of the 17-candidate scoring kernel
     # gets the remote tpu_compile_helper SIGKILLed (OOM), and the
-    # 9-candidate variant's compile runs tens of minutes vs seconds for
+    # 8-candidate variant's compile runs tens of minutes vs seconds for
     # the scan program (benchmarks/stage_bench.py --roofline, 2026-08-20;
     # design.md section 4).  Numerics are pinned equal to the scan path
     # (tests/test_sl_forward_kernel.py), so the kernels stay available:
