@@ -54,6 +54,31 @@ def _require(prefix, tags, what):
     )
 
 
+def test_code_tag_is_semantic():
+    """bench.py::code_tag hashes docstring-stripped ASTs: comment/docstring
+    edits of package files must NOT invalidate the committed bench
+    artifacts (three same-day TPU re-runs in round 5 motivated this), while
+    any actual code change must."""
+    bench = _load_bench()
+    target = os.path.join(
+        REPO, "iterativelqr_tpu", "models", "acrobot.py"
+    )
+    with open(target, "rb") as f:
+        orig = f.read()
+    tag0 = bench.code_tag()
+    try:
+        with open(target, "ab") as f:
+            f.write(b"\n# transient comment (test_code_tag_is_semantic)\n")
+        assert bench.code_tag() == tag0, "comment edit changed the tag"
+        with open(target, "ab") as f:
+            f.write(b"_code_tag_probe = 1\n")
+        assert bench.code_tag() != tag0, "code edit did not change the tag"
+    finally:
+        with open(target, "wb") as f:
+            f.write(orig)
+    assert bench.code_tag() == tag0
+
+
 def test_bench_cli_override_mapping():
     """--early-cap 0 must mean the UNCAPPED schedule (Options wants None —
     the no-cap control the tuned preset was swept against), and --min-step
