@@ -198,13 +198,16 @@ def preset_options(preset, args):
         opts = Options(verbose=False, record_traces=False)
     fk = getattr(args, "fk", None)
     min_step = getattr(args, "min_step", None)
+    penalty = getattr(args, "penalty", None)
     if (args.early_cap is not None or args.mct is not None or fk is not None
-            or min_step is not None):
+            or min_step is not None or penalty is not None):
         import dataclasses
 
         overrides = {}
         if min_step is not None:
             overrides["min_step_size"] = min_step
+        if penalty is not None:
+            overrides["initial_constraint_penalty"] = penalty
         if args.early_cap is not None:
             # 0 = the uncapped schedule (Options wants None, argparse can't
             # say it) — the no-cap control the tuned preset was swept against
@@ -453,6 +456,11 @@ def main():
         "compaction driver's rescue pass)",
     )
     ap.add_argument(
+        "--penalty", type=float, default=None,
+        help="override Options.initial_constraint_penalty (AL schedule "
+        "experiments; tuned preset default 1000)",
+    )
+    ap.add_argument(
         "--min-step", type=float, default=None, dest="min_step",
         help="override Options.min_step_size (line-search grid experiments: "
         "the candidate count is floor(log2(1/min_step))+1 — tuned preset "
@@ -496,6 +504,7 @@ def main():
             ("mct", args.mct),
             ("fk", args.fk),
             ("min_step", args.min_step),
+            ("penalty", args.penalty),
         )
         if v is not None
     }
