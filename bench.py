@@ -120,7 +120,7 @@ def measure_baseline(T, cache_path):
     return data["solves_per_sec"], data
 
 
-def code_tag():
+def code_tag(pkg=None):
     """Hash of the package files that determine the benched program, so a
     code change can never silently serve a stale pre-lowered program (and
     the committed bench artifacts are auditable against HEAD).
@@ -130,12 +130,20 @@ def code_tag():
     program, and hashing them forced a full TPU bench re-run (the CLAUDE.md
     re-run rule, enforced by tests/test_bench_cache_fresh.py) for every
     doc-only touch of a core file — three same-day re-runs in round 5 alone.
+    Caveat: ``ast.dump`` text is stable for a fixed interpreter but not
+    guaranteed across Python minor versions — an interpreter upgrade may
+    move the tag once (and a jax upgrade would warrant re-lowering the
+    committed programs anyway).
+
+    ``pkg``: override the package root (tests hash a scratch tree instead
+    of mutating the real sources under xdist).
     """
     import ast
     import glob
     import hashlib
 
-    pkg = os.path.join(os.path.dirname(__file__), "iterativelqr_tpu")
+    if pkg is None:
+        pkg = os.path.join(os.path.dirname(__file__), "iterativelqr_tpu")
     h = hashlib.sha256()
     roots = [
         os.path.join(pkg, "core"),
@@ -146,11 +154,12 @@ def code_tag():
     files = []
     for r in roots:
         if r.endswith(".py"):
-            files.append(r)
+            if os.path.exists(r):
+                files.append(r)
         else:
             files.extend(glob.glob(os.path.join(r, "**", "*.py"), recursive=True))
     for f in sorted(files):
-        with open(f) as fh:
+        with open(f, encoding="utf-8") as fh:
             tree = ast.parse(fh.read())
         for node in ast.walk(tree):
             body = getattr(node, "body", None)
@@ -210,7 +219,13 @@ def preset_options(preset, args):
             overrides["initial_constraint_penalty"] = penalty
         if args.early_cap is not None:
             # 0 = the uncapped schedule (Options wants None, argparse can't
-            # say it) — the no-cap control the tuned preset was swept against
+            # say it) — the no-cap control the tuned preset was swept
+            # against; negatives are a typo, not a request for uncapped
+            if args.early_cap < 0:
+                raise SystemExit(
+                    f"--early-cap {args.early_cap}: must be >= 1, or 0 for "
+                    "the uncapped schedule"
+                )
             overrides["early_round_iteration_cap"] = (
                 args.early_cap if args.early_cap > 0 else None
             )
@@ -464,7 +479,7 @@ def main():
         "--min-step", type=float, default=None, dest="min_step",
         help="override Options.min_step_size (line-search grid experiments: "
         "the candidate count is floor(log2(1/min_step))+1 — tuned preset "
-        "4e-3 = 9 candidates, reference default 1e-5 = 17)",
+        "4e-3 = 8 candidates, reference default 1e-5 = 17)",
     )
     ap.add_argument(
         "--fk", choices=["auto", "scan", "pallas"], default=None,

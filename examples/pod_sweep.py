@@ -82,8 +82,12 @@ def main():
     # Any other init failure re-raises (parallel/shard.py rationale).
     try:
         distributed_initialize()
-    except ValueError as e:
-        if "coordinator_address" not in str(e):
+    except (ValueError, RuntimeError) as e:
+        # message-substring match is version-fragile by nature; catching
+        # both exception types jax has used for "no cluster detected"
+        # keeps the fallback alive across upgrades, while anything not
+        # mentioning the coordinator still re-raises
+        if "coordinator" not in str(e).lower():
             raise
         print("single-process mode (no cluster coordinator detected)")
     mesh = default_mesh()

@@ -54,29 +54,33 @@ def _require(prefix, tags, what):
     )
 
 
-def test_code_tag_is_semantic():
+def test_code_tag_is_semantic(tmp_path):
     """bench.py::code_tag hashes docstring-stripped ASTs: comment/docstring
     edits of package files must NOT invalidate the committed bench
     artifacts (three same-day TPU re-runs in round 5 motivated this), while
-    any actual code change must."""
+    any actual code change must.  Runs against a scratch package tree —
+    mutating the real sources would race other xdist workers."""
     bench = _load_bench()
-    target = os.path.join(
-        REPO, "iterativelqr_tpu", "models", "acrobot.py"
-    )
-    with open(target, "rb") as f:
-        orig = f.read()
-    tag0 = bench.code_tag()
-    try:
-        with open(target, "ab") as f:
-            f.write(b"\n# transient comment (test_code_tag_is_semantic)\n")
-        assert bench.code_tag() == tag0, "comment edit changed the tag"
-        with open(target, "ab") as f:
-            f.write(b"_code_tag_probe = 1\n")
-        assert bench.code_tag() != tag0, "code edit did not change the tag"
-    finally:
-        with open(target, "wb") as f:
-            f.write(orig)
-    assert bench.code_tag() == tag0
+    pkg = tmp_path / "pkg"
+    core = pkg / "core"
+    core.mkdir(parents=True)
+    mod = core / "mod.py"
+    src = '"""Docstring."""\n\ndef f(x):\n    """f doc."""\n    return x + 1\n'
+    mod.write_text(src)
+    tag0 = bench.code_tag(pkg=str(pkg))
+    mod.write_text(src + "\n# a comment\n")
+    assert bench.code_tag(pkg=str(pkg)) == tag0, "comment edit changed the tag"
+    mod.write_text(src.replace('"""Docstring."""', '"""Edited docstring."""'))
+    assert bench.code_tag(pkg=str(pkg)) == tag0, "docstring edit changed the tag"
+    mod.write_text(src + "_probe = 1\n")
+    assert bench.code_tag(pkg=str(pkg)) != tag0, "code edit kept the tag"
+    # and the real package's tag matches the committed records (same check
+    # as test_committed_bench_records_match_head, asserted here against the
+    # default-root path to pin that the pkg= override defaults correctly)
+    import json
+
+    with open(os.path.join(REPO, "benchmarks", "BENCH_tuned.json")) as f:
+        assert json.load(f)["code_tag"] == bench.code_tag()
 
 
 def test_bench_cli_override_mapping():
